@@ -1,0 +1,45 @@
+# laplace_inducing_points_tpu — build/run harness
+# CPU work must bypass the axon remote-compile plugin (see
+# .claude/skills/verify/SKILL.md); TPU targets keep the env untouched.
+
+CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+PY      := python
+
+.PHONY: test test-fast bench toy-banana toy-sine toy-xor scale-mnist eval-mnist dryrun
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x
+
+bench:
+	$(PY) bench.py
+
+# ---- toy pipelines (CPU-friendly) -----------------------------------------
+toy-banana:
+	$(CPU_ENV) $(PY) -m laplace_inducing_points_tpu.cli.main_toy full_pipeline \
+		--dataset banana --config configs/toy/classifier_banana.yml --plot_Z --plot_X
+
+toy-xor:
+	$(CPU_ENV) $(PY) -m laplace_inducing_points_tpu.cli.main_toy full_pipeline \
+		--dataset xor --config configs/toy/classifier_xor.yml --plot_Z
+
+toy-sine:
+	$(CPU_ENV) $(PY) -m laplace_inducing_points_tpu.cli.main_toy full_pipeline \
+		--dataset sine --config configs/toy/regressor_sine.yml
+
+# ---- scale pipelines (TPU) -------------------------------------------------
+scale-mnist:
+	$(PY) -m laplace_inducing_points_tpu.cli.train_scale full_pipeline \
+		--dataset mnist --config configs/scale/lenet5_mnist.yml
+
+eval-mnist:
+	$(PY) -m laplace_inducing_points_tpu.cli.evaluate \
+		--dataset mnist --ood-dataset fmnist \
+		--config configs/scale/lenet5_mnist.yml --scalable
+
+# ---- multi-chip dry-run on virtual CPU mesh --------------------------------
+dryrun:
+	$(CPU_ENV) XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun OK')"

@@ -1,0 +1,171 @@
+"""Toy-experiment pipeline driver.
+
+Parity: ``/root/reference/main.py`` — modes ``train_map`` /
+``train_inducing`` / ``visualize`` / ``full_pipeline`` over the toy datasets,
+plus the reference's flags (``--full``, ``--scalable``,
+``--num_mc_samples_lla``, ``--alpha_ip``, ``--plot_Z``, ``--plot_X``).
+Data is generated on demand (no pre-baked npz required).
+
+Usage:
+    python -m laplace_inducing_points_tpu.cli.main_toy full_pipeline \
+        --dataset banana --config configs/toy/classifier_banana.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from laplace_inducing_points_tpu.data.loader import (ArrayDataset,
+                                                     cycling_batches,
+                                                     make_dataloaders)
+from laplace_inducing_points_tpu.data.toy import (ensure_toy_npz, load_dataset,
+                                                  train_test_val_split)
+from laplace_inducing_points_tpu.models.registry import get_model
+from laplace_inducing_points_tpu.models.state import create_train_state
+from laplace_inducing_points_tpu.training.grid_search import grid_search_alpha
+from laplace_inducing_points_tpu.training.inducing import train_inducing_points
+from laplace_inducing_points_tpu.training.map import train_map
+from laplace_inducing_points_tpu.utils.checkpoint import (load_array,
+                                                          load_train_state,
+                                                          save_array,
+                                                          save_train_state)
+from laplace_inducing_points_tpu.utils.config import load_experiment_config
+from laplace_inducing_points_tpu.viz import nplot
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["train_map", "train_inducing",
+                                    "visualize", "full_pipeline"])
+    p.add_argument("--dataset", required=True,
+                   help="toy dataset name (sine/xor/spiral/ring/banana) or "
+                        "path to an .npz with x,y arrays")
+    p.add_argument("--config", required=True, help="experiment YAML")
+    p.add_argument("--full", action="store_true",
+                   help="visualize full-data LLA instead of IP-LLA")
+    p.add_argument("--scalable", action="store_true",
+                   help="matrix-free IP objective + LLA sampling")
+    p.add_argument("--objective", default=None,
+                   choices=["dense", "gram", "stochastic"],
+                   help="override the inducing objective")
+    p.add_argument("--num_mc_samples_lla", type=int, default=1000)
+    p.add_argument("--alpha_ip", type=float, default=None)
+    p.add_argument("--plot_Z", action="store_true")
+    p.add_argument("--plot_X", action="store_true")
+    p.add_argument("--ckpt_map", default="checkpoint/map/")
+    p.add_argument("--ckpt_induc", default="checkpoint/ind/")
+    p.add_argument("--fig_dir", default="fig/")
+    p.add_argument("--data_dir", default="data/")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_experiment_config(args.config)
+    model_cfg = cfg["model"]
+    opt_cfg = cfg["optimization"]
+    map_cfg = opt_cfg["map"]
+    ip_cfg = opt_cfg["ip"]
+    model_kind = model_cfg["type"]
+    alpha = opt_cfg["alpha"]
+
+    # ---- data --------------------------------------------------------------
+    if args.dataset.endswith(".npz"):
+        x, y = load_dataset(args.dataset)
+        ds_name = os.path.splitext(os.path.basename(args.dataset))[0]
+    else:
+        path = ensure_toy_npz(args.dataset, data_dir=args.data_dir)
+        x, y = load_dataset(path)
+        ds_name = args.dataset
+    (tr, te, va) = train_test_val_split(x, y)
+    train_loader, test_loader, val_loader = make_dataloaders(
+        ArrayDataset(*tr), ArrayDataset(*te), ArrayDataset(*va),
+        batch_size=map_cfg["batch_size"], seed=map_cfg["seed"] % (2**31))
+    full_set_size = opt_cfg.get("full_set_size") or tr[0].shape[0]
+
+    # ---- model + state -----------------------------------------------------
+    model = get_model(model_cfg)
+    state = create_train_state(
+        model, jax.random.PRNGKey(model_cfg.get("seed", 0)),
+        jnp.asarray(tr[0][:1]), optax.adam(map_cfg["lr"]),
+        model_kind=model_kind)
+
+    map_dir = os.path.join(args.ckpt_map, f"map_{ds_name}")
+
+    # ---- PART A: MAP -------------------------------------------------------
+    if args.mode in ("train_map", "full_pipeline"):
+        state = train_map(state, train_loader, test_loader,
+                          num_epochs=map_cfg["epochs"], alpha=alpha)
+        save_train_state(state, map_dir, step=map_cfg["epochs"])
+        if model_kind == "classifier":
+            nplot.plot_map_2d_classification(
+                state, tr[0], tr[1],
+                save_path=os.path.join(args.fig_dir,
+                                       f"{ds_name}_{model_kind}_map.png"))
+        print("[DONE] MAP training.")
+        if args.mode == "train_map":
+            return
+    else:
+        state = load_train_state(state, map_dir)
+
+    # ---- PART B: inducing points ------------------------------------------
+    m = ip_cfg["m"]
+    z_init = jnp.asarray(tr[0][:m])
+    ip_batches = cycling_batches(
+        make_dataloaders(ArrayDataset(*tr), ArrayDataset(*te),
+                         ArrayDataset(*va), batch_size=ip_cfg["batch_size"],
+                         seed=ip_cfg["seed"] % (2**31))[0])
+    objective = args.objective or (
+        "stochastic" if args.scalable else ip_cfg.get("objective", "gram"))
+
+    alpha_ip = args.alpha_ip
+    if alpha_ip is None:
+        alpha_ip = grid_search_alpha(
+            state, z_init, val_loader, full_set_size=full_set_size,
+            num_mc_samples=ip_cfg["mc_samples"])
+
+    if args.mode in ("train_inducing", "full_pipeline"):
+        Z = train_inducing_points(
+            state, z_init, optax.adam(ip_cfg["lr"]), ip_batches,
+            alpha=alpha_ip, num_steps=ip_cfg["epochs"],
+            full_set_size=full_set_size, objective=objective,
+            rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
+            st_samples=ip_cfg["st_samples"],
+            slq_samples=ip_cfg["slq_samples"],
+            slq_num_matvecs=ip_cfg["slq_num_matvecs"])
+        save_array(Z, args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
+        print("[DONE] Inducing training.")
+    else:
+        Z = load_array(args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
+
+    # ---- PART C: visualization --------------------------------------------
+    if args.mode in ("visualize", "full_pipeline"):
+        Z_plot = jnp.asarray(tr[0]) if args.full else Z
+        if model_kind == "classifier":
+            suffix = "_mf" if args.scalable else ""
+            nplot.plot_lla_2d_classification(
+                state, tr[0], tr[1], Z_plot, alpha_ip,
+                key=jax.random.PRNGKey(ip_cfg["seed"] % (2**31) + 1),
+                num_mc_samples=args.num_mc_samples_lla,
+                full_set_size=None if args.full else full_set_size,
+                scalable=True, plot_Z=args.plot_Z, plot_X=args.plot_X,
+                save_path=os.path.join(
+                    args.fig_dir,
+                    f"{ds_name}_{model_kind}_lla_"
+                    f"{'full' if args.full else 'ip'}{suffix}.png"))
+        else:
+            nplot.plot_regression_lla_1d(
+                state, tr[0], tr[1], Z_plot, alpha_ip,
+                full_set_size=None if args.full else full_set_size,
+                save_path=os.path.join(args.fig_dir,
+                                       f"{ds_name}_{model_kind}_lla.png"))
+        print("[DONE] Visualization.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Scale-experiment trainer: MNIST / FashionMNIST / CIFAR-10.
+
+Parity: ``/root/reference/scale_experiments/train.py`` — MAP with cosine LR
+decay, optional α grid search, inducing-point training — with a working
+``--continue`` (the reference declares the flag but never implements it,
+``train.py:31-32``) and mesh-sharded data parallelism.
+
+Usage:
+    python -m laplace_inducing_points_tpu.cli.train_scale full_pipeline \
+        --dataset mnist --config configs/scale/lenet5_mnist.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from laplace_inducing_points_tpu.data.loader import cycling_batches
+from laplace_inducing_points_tpu.data.scale import get_dataloaders
+from laplace_inducing_points_tpu.models.registry import get_model
+from laplace_inducing_points_tpu.models.state import create_train_state
+from laplace_inducing_points_tpu.parallel.mesh import batch_sharding, make_mesh
+from laplace_inducing_points_tpu.training.grid_search import grid_search_alpha
+from laplace_inducing_points_tpu.training.inducing import train_inducing_points
+from laplace_inducing_points_tpu.training.map import cosine_lr, train_map
+from laplace_inducing_points_tpu.utils.checkpoint import (load_array,
+                                                          load_train_state,
+                                                          save_array,
+                                                          save_train_state)
+from laplace_inducing_points_tpu.utils.config import load_experiment_config
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["train_map", "train_inducing",
+                                    "full_pipeline"])
+    p.add_argument("--dataset", required=True,
+                   help="mnist | fmnist | cifar10")
+    p.add_argument("--config", required=True)
+    p.add_argument("--continue", dest="resume", action="store_true",
+                   help="resume MAP training from the latest checkpoint")
+    p.add_argument("--alpha_ip", type=float, default=None)
+    p.add_argument("--objective", default=None,
+                   choices=["dense", "gram", "stochastic"])
+    p.add_argument("--ckpt_map", default="checkpoint/map/")
+    p.add_argument("--ckpt_induc", default="checkpoint/ind/")
+    p.add_argument("--data_dir", default="data/")
+    p.add_argument("--no-mesh", action="store_true",
+                   help="disable data-parallel sharding")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_experiment_config(args.config)
+    model_cfg = cfg["model"]
+    opt_cfg = cfg["optimization"]
+    map_cfg = opt_cfg["map"]
+    ip_cfg = opt_cfg["ip"]
+    alpha = opt_cfg["alpha"]
+    full_set_size = opt_cfg["full_set_size"]
+
+    train_loader, test_loader, val_loader = get_dataloaders(
+        args.dataset, map_cfg["batch_size"], root=args.data_dir)
+    full_set_size = full_set_size or len(train_loader.dataset)
+
+    sharding = None
+    if not args.no_mesh and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        sharding = batch_sharding(mesh)
+        print(f"[mesh] data-parallel over {len(jax.devices())} devices")
+
+    dummy = jnp.asarray(next(iter(train_loader))[0][:1], dtype=jnp.float32)
+    steps_per_epoch = math.ceil(full_set_size / map_cfg["batch_size"])
+    if map_cfg.get("schedule", "cosine") == "cosine":
+        lr = cosine_lr(map_cfg["lr"], map_cfg["epochs"], steps_per_epoch)
+    else:
+        lr = map_cfg["lr"]
+    model = get_model(model_cfg)
+    state = create_train_state(model,
+                               jax.random.PRNGKey(model_cfg.get("seed", 0)),
+                               dummy, optax.adam(lr),
+                               model_kind=model_cfg["type"])
+
+    map_dir = os.path.join(args.ckpt_map, f"map_{args.dataset}")
+    if args.resume:
+        try:
+            state = load_train_state(state, map_dir)
+            print(f"[resume] continuing from step {int(state.step)}")
+        except FileNotFoundError:
+            print("[resume] no checkpoint found — starting fresh")
+
+    if args.mode in ("train_map", "full_pipeline"):
+        state = train_map(state, train_loader, test_loader,
+                          num_epochs=map_cfg["epochs"], alpha=alpha,
+                          sharding=sharding)
+        save_train_state(state, map_dir, step=map_cfg["epochs"])
+        print("[DONE] MAP training.")
+        if args.mode == "train_map":
+            return
+    elif not args.resume:
+        state = load_train_state(state, map_dir)
+
+    # inducing points: init from a training batch of size m (no augmentation)
+    m = ip_cfg["m"]
+    init_loader, *_ = get_dataloaders(args.dataset, m, aug=False,
+                                      root=args.data_dir)
+    z_init = jnp.asarray(next(iter(init_loader))[0], dtype=jnp.float32)
+    ip_loader, _, _ = get_dataloaders(args.dataset, ip_cfg["batch_size"],
+                                      aug=False, root=args.data_dir)
+
+    alpha_ip = args.alpha_ip
+    if alpha_ip is None:
+        alpha_ip = grid_search_alpha(
+            state, z_init, val_loader, full_set_size=full_set_size,
+            num_mc_samples=ip_cfg["mc_samples"], log10_min=1.0,
+            log10_max=3.0, n_coarse=8)
+
+    objective = args.objective or ip_cfg.get("objective", "gram")
+    Z = train_inducing_points(
+        state, z_init, optax.adam(ip_cfg["lr"]),
+        cycling_batches(ip_loader), alpha=alpha_ip,
+        num_steps=ip_cfg["epochs"], full_set_size=full_set_size,
+        objective=objective,
+        rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
+        st_samples=ip_cfg["st_samples"], slq_samples=ip_cfg["slq_samples"],
+        slq_num_matvecs=ip_cfg["slq_num_matvecs"])
+    save_array(Z, args.ckpt_induc, f"ind_{args.dataset}", ip_cfg["epochs"])
+    print("[DONE] Inducing training.")
+
+
+if __name__ == "__main__":
+    main()

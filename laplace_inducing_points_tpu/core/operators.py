@@ -1,0 +1,347 @@
+"""Matrix-free PSD linear-operator algebra over network curvature.
+
+This is the framework's L1: the reference buries the same algebra in ad-hoc
+closures with **per-example** ``fori_loop``/``vmap`` jvp+vjp pairs
+(``/root/reference/src/ggn.py:9-144``). TPU-first redesign:
+
+* The network is applied **batched** over the point set ``Z`` once and
+  linearized once (``jax.linearize`` / ``jax.vjp``). A GGN or W-factor
+  matvec then costs ONE jvp (or vjp) of the batched function — the example
+  axis rides the MXU as matmul batch dimensions instead of a sequential loop.
+* Probe batches (``matmat``) are ``vmap``-ed over the stored linearization,
+  so Hutch++/SLQ probe sweeps are a single fused XLA computation.
+* Dense Gram matrices ``WᵀW`` (``d_z × d_z``, small) are built from the
+  materialized per-example Jacobian (one vmapped ``jacrev``) followed by a
+  single MXU rank-k update — not ``d_z`` sequential one-hot probes
+  (reference ``/root/reference/src/ggn.py:198-272``). A memory-bounded
+  blocked fallback is provided for large ``M·K·D``.
+
+Operator glossary (D = #params, M = #points, K = #outputs, d = M·K):
+
+* ``W : R^{M×K} -> R^D``, ``W U = c · Σ_i J_iᵀ L_i U_i`` — the GGN factor,
+  ``GGN = W Wᵀ``; ``c = sqrt(N/M)`` recalibration.
+* ``Wᵀ : R^D -> R^{M×K}``, ``(Wᵀ v)_i = c · L_iᵀ J_i v``.
+* ``GGN v = c² Σ_i J_iᵀ H_i J_i v`` with ``H_i = L_i L_iᵀ``.
+* ``Curvature = GGN + αI`` (PSD by construction).
+
+All operators are differentiable w.r.t. the point set ``Z`` (closed over by
+the linearization), which the inducing-point KL objective requires.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from laplace_inducing_points_tpu.core import loss_hessians as lh
+from laplace_inducing_points_tpu.core.params import flatten_nn_params, split_nn_params
+
+
+def pdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full-precision matmul for small curvature/Gram algebra.
+
+    JAX's default matmul precision may run reduced-precision passes (bf16 on
+    TPU MXU); Gram matrices and posterior solves are tiny, so always pay for
+    exact f32 accumulation there.
+    """
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def model_outputs(state: Any, params: Any, x: jnp.ndarray,
+                  batch_stats: Any = None) -> jnp.ndarray:
+    """Batched network outputs ``(M, K)`` with frozen aux collections.
+
+    Uniform eval-mode apply for all model kinds. BatchNorm runs with running
+    statistics (reference freezes ``batch_stats`` inside jvp/vjp,
+    ``/root/reference/src/ggn.py:47-52``); the regressor's ``(mu, logvar)``
+    tuple is reduced to ``mu``.
+    """
+    variables = {"params": params}
+    bs = state.batch_stats if batch_stats is None else batch_stats
+    if bs:
+        variables["batch_stats"] = bs
+    out = state.apply_fn(variables, x, train=False)
+    if isinstance(out, tuple):
+        out = out[0]
+    return out
+
+
+@dataclass(frozen=True)
+class Linearization:
+    """Batched first-order model expansion at the current parameters.
+
+    Holds the primal outputs plus jvp/vjp closures of the *batched* apply,
+    created once per (state, Z) pair and reused across all probes.
+    """
+    model_kind: str
+    flat_params: jnp.ndarray          # (D,)
+    f0: jnp.ndarray                   # (M, K) primal outputs
+    jvp: Callable[[jnp.ndarray], jnp.ndarray]      # (D,) -> (M, K)
+    vjp: Callable[[jnp.ndarray], jnp.ndarray]      # (M, K) -> (D,)
+    logvar: jnp.ndarray | float       # scalar for regressors, 0 otherwise
+    f_of_flat: Callable[[jnp.ndarray], jnp.ndarray] = field(repr=False, default=None)
+    f_single: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = field(repr=False, default=None)
+
+    @property
+    def num_points(self) -> int:
+        return self.f0.shape[0]
+
+    @property
+    def out_dim(self) -> int:
+        return self.f0.shape[-1]
+
+    @property
+    def num_params(self) -> int:
+        return self.flat_params.shape[0]
+
+
+def linearize_model(state: Any, Z: jnp.ndarray) -> Linearization:
+    """Linearize the batched network apply at the state's parameters.
+
+    Replaces the reference's per-example ``model_fun``/``fzi`` closures
+    (``/root/reference/src/ggn.py:41-52``) with one batched linearization.
+    """
+    flat, unravel = flatten_nn_params(state.params)
+    _, aux = split_nn_params(state.params)
+    kind = state.model_kind
+
+    def f(flat_p: jnp.ndarray) -> jnp.ndarray:
+        params = {**unravel(flat_p), **aux}
+        return model_outputs(state, params, Z)
+
+    def f_single(flat_p: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
+        params = {**unravel(flat_p), **aux}
+        return model_outputs(state, params, zi[None])[0]
+
+    f0, jvp_fn = jax.linearize(f, flat)
+    _, vjp_raw = jax.vjp(f, flat)
+    vjp_fn = lambda ct: vjp_raw(ct)[0]
+
+    logvar = 0.0
+    if kind == lh.REGRESSOR and "logvar" in state.params:
+        logvar = state.params["logvar"]
+        # tolerate either a raw leaf or a nested {'logvar': leaf} collection
+        if isinstance(logvar, dict):
+            logvar = logvar["logvar"]
+
+    return Linearization(model_kind=kind, flat_params=flat, f0=f0,
+                         jvp=jvp_fn, vjp=vjp_fn, logvar=logvar,
+                         f_of_flat=f, f_single=f_single)
+
+
+# ---------------------------------------------------------------------------
+# W factor
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WFactor:
+    """The GGN square-root factor ``W`` as a matrix-free operator.
+
+    Parity: ``compute_W_vps`` (``/root/reference/src/ggn.py:9-94``) — but
+    batched: ``t_matvec`` is one jvp of the batched network, not ``M``
+    per-example jvps, and ``matmat``/``t_matmat`` vmap the probe axis.
+    """
+    lin: Linearization
+    scale: jnp.ndarray | float      # sqrt(N/M) recalibration
+
+    # -- matrix-free actions -------------------------------------------------
+    def t_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        """``Wᵀ v``: ``(D,) -> (M, K)``."""
+        jv = self.lin.jvp(v)
+        return self.scale * lh.sqrt_h_t_apply(self.lin.model_kind, self.lin.f0,
+                                              jv, self.lin.logvar)
+
+    def matvec(self, U: jnp.ndarray) -> jnp.ndarray:
+        """``W U``: ``(M, K) -> (D,)``."""
+        lU = lh.sqrt_h_apply(self.lin.model_kind, self.lin.f0, U, self.lin.logvar)
+        return self.scale * self.lin.vjp(lU)
+
+    def t_matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+        """Batched ``Wᵀ`` over probes: ``(P, D) -> (P, M, K)``."""
+        return jax.vmap(self.t_matvec)(V)
+
+    def matmat(self, U: jnp.ndarray) -> jnp.ndarray:
+        """Batched ``W`` over probes: ``(P, M, K) -> (P, D)``."""
+        return jax.vmap(self.matvec)(U)
+
+    # -- shapes ---------------------------------------------------------------
+    @property
+    def d(self) -> int:
+        """Columns of W (= M·K)."""
+        return self.lin.num_points * self.lin.out_dim
+
+    @property
+    def inner_shape(self) -> Tuple[int, int]:
+        return (self.lin.num_points, self.lin.out_dim)
+
+    @property
+    def num_params(self) -> int:
+        return self.lin.num_params
+
+    # -- dense materializations ----------------------------------------------
+    def gram(self, block: Optional[int] = None) -> jnp.ndarray:
+        """Dense ``WᵀW`` (``d × d``) via blocked batched probes.
+
+        ``block=None`` does all ``d`` basis vectors in one vmapped sweep;
+        otherwise probes run in ``lax.map`` chunks of ``block`` columns with
+        peak extra memory ``block × D`` (reference's remat-checkpointed
+        one-hot builder, ``/root/reference/src/ggn.py:198-230``, but each
+        chunk is a batched jvp+vjp, not a scalar loop).
+        """
+        d = self.d
+        M, K = self.inner_shape
+
+        def column(idx: jnp.ndarray) -> jnp.ndarray:
+            e = jnp.zeros((d,), self.lin.f0.dtype).at[idx].set(1.0)
+            col = self.t_matvec(self.matvec(e.reshape(M, K)))
+            return col.reshape(d)
+
+        idxs = jnp.arange(d)
+        if block is None or block >= d:
+            G = jax.vmap(column)(idxs)
+        else:
+            pad = (-d) % block
+            idxs = jnp.concatenate([idxs, jnp.zeros((pad,), idxs.dtype)])
+            chunks = idxs.reshape(-1, block)
+            G = jax.lax.map(jax.remat(jax.vmap(column)), chunks)
+            G = G.reshape(-1, d)[:d]
+        return 0.5 * (G + G.T)
+
+
+def dense_wt(state: Any, Z: jnp.ndarray, *, scale: jnp.ndarray | float = 1.0,
+             lin: Optional[Linearization] = None) -> jnp.ndarray:
+    """Materialize ``Wᵀ ∈ R^{(M·K) × D}`` for a point set ``Z``.
+
+    Strategy: vmapped per-example ``jacrev`` (so each of the M·K rows costs
+    one single-example backward pass, all batched by XLA), then the loss
+    factor ``Lᵀ`` is applied along the class axis in one einsum-like sweep.
+    """
+    lin = lin or linearize_model(state, Z)
+    flat = lin.flat_params
+
+    def per_example_jac(zi):
+        return jax.jacrev(lambda p: lin.f_single(p, zi))(flat)   # (K, D)
+
+    J = jax.vmap(per_example_jac)(Z)                              # (M, K, D)
+    # Apply Lᵀ along the K axis for every parameter column: treat D as batch.
+    Jt = jnp.swapaxes(J, 1, 2)                                    # (M, D, K)
+    f0 = lin.f0[:, None, :]                                       # (M, 1, K)
+    LtJ = lh.sqrt_h_t_apply(lin.model_kind, f0, Jt, lin.logvar)   # (M, D, K)
+    R = jnp.swapaxes(LtJ, 1, 2).reshape(-1, flat.shape[0])        # (M·K, D)
+    return scale * R
+
+
+# ---------------------------------------------------------------------------
+# GGN / curvature operators
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GGNOperator:
+    """``v ↦ c² Σ_i J_iᵀ H_i J_i v`` — matrix-free, batched.
+
+    Parity: ``compute_ggn_vp`` (``/root/reference/src/ggn.py:97-146``), which
+    runs a sequential ``fori_loop`` over examples; here one jvp + one H-apply
+    + one vjp of the batched network.
+    """
+    lin: Linearization
+    scale: jnp.ndarray | float        # N/M recalibration (c²)
+
+    def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        jv = self.lin.jvp(v)
+        hv = lh.h_apply(self.lin.model_kind, self.lin.f0, jv, self.lin.logvar)
+        return self.scale * self.lin.vjp(hv)
+
+    def matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+        """Batched probes: ``(P, D) -> (P, D)``."""
+        return jax.vmap(self.matvec)(V)
+
+    @property
+    def num_params(self) -> int:
+        return self.lin.num_params
+
+    def dense(self) -> jnp.ndarray:
+        """Materialize the ``D × D`` GGN (test/dense-twin path only).
+
+        Parity: ``compute_ggn_dense`` (``/root/reference/src/ggn.py:149-195``).
+        """
+        R = dense_wt_from_lin(self.lin)                       # (M·K, D)
+        return self.scale * pdot(R.T, R)
+
+
+def dense_wt_from_lin(lin: Linearization) -> jnp.ndarray:
+    """Unscaled ``Lᵀ J`` rows ``(M·K, D)`` from an existing linearization."""
+    flat = lin.flat_params
+    D = flat.shape[0]
+
+    def row(idx):
+        e = jnp.zeros((D,), flat.dtype).at[idx].set(1.0)
+        jv = lin.jvp(e)
+        return lh.sqrt_h_t_apply(lin.model_kind, lin.f0, jv, lin.logvar)
+
+    # jacfwd-style: D probes through the stored linearization, vmapped.
+    rows = jax.vmap(row)(jnp.arange(D))                       # (D, M, K)
+    return jnp.moveaxis(rows, 0, -1).reshape(-1, D)           # (M·K, D)
+
+
+def make_w_factor(state: Any, Z: jnp.ndarray,
+                  full_set_size: Optional[int] = None,
+                  lin: Optional[Linearization] = None) -> WFactor:
+    """Build the ``W`` factor with ``sqrt(N/M)`` recalibration.
+
+    Parity: ``compute_W_vps`` (``/root/reference/src/ggn.py:9-13``).
+    """
+    lin = lin or linearize_model(state, Z)
+    M = lin.num_points
+    N = full_set_size or M
+    return WFactor(lin=lin, scale=math.sqrt(N / M))
+
+
+def make_ggn_operator(state: Any, Z: jnp.ndarray,
+                      full_set_size: Optional[int] = None,
+                      lin: Optional[Linearization] = None) -> GGNOperator:
+    """Build the GGN operator with ``N/M`` recalibration."""
+    lin = lin or linearize_model(state, Z)
+    M = lin.num_points
+    N = full_set_size or M
+    return GGNOperator(lin=lin, scale=N / M)
+
+
+def make_curvature_operator(state: Any, Z: jnp.ndarray, alpha: float,
+                            full_set_size: Optional[int] = None,
+                            lin: Optional[Linearization] = None
+                            ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """``v ↦ (GGN + αI) v`` — the PSD curvature ``S``.
+
+    Parity: ``compute_curvature_approx`` (``/root/reference/src/lla.py:11-23``).
+    """
+    ggn = make_ggn_operator(state, Z, full_set_size, lin=lin)
+
+    def s_matvec(v: jnp.ndarray) -> jnp.ndarray:
+        return ggn.matvec(v) + alpha * v
+
+    return s_matvec
+
+
+def curvature_dense(state: Any, Z: jnp.ndarray, alpha: float,
+                    full_set_size: Optional[int] = None) -> jnp.ndarray:
+    """Dense ``S = GGN + αI`` (test/dense-twin path).
+
+    Parity: ``compute_curvature_approx_dense``
+    (``/root/reference/src/lla.py:26-34``).
+    """
+    ggn = make_ggn_operator(state, Z, full_set_size)
+    G = ggn.dense()
+    return G + alpha * jnp.eye(G.shape[0], dtype=G.dtype)
+
+
+def ensure_symmetry(A: jnp.ndarray, jitter: float = 1e-8) -> jnp.ndarray:
+    """Symmetrize + jitter a theoretically-symmetric matrix.
+
+    Parity: ``/root/reference/src/ggn.py:277``.
+    """
+    return 0.5 * (A + A.T) + jitter * jnp.eye(A.shape[0], dtype=A.dtype)

@@ -1,0 +1,171 @@
+"""Toy dataset generators (by formula) + npz persistence and splits.
+
+Parity: ``/root/reference/src/toydata.py:23-178,242-257`` — each generator
+reproduces the same distributions (sine wave with optional domain gap, XOR
+blobs, two-armed spirals, annulus ring, banana arches) so figures and
+metrics are comparable. Implemented fresh on ``jax.random``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def sine_fn(x: Array) -> Array:
+    return jnp.sin(2 * x) + x * jnp.cos(5 * x)
+
+
+def sine_dataset(n: int, key: jax.Array, noise: float = 0.5,
+                 split_in_middle: bool = False) -> Tuple[Array, Array]:
+    kx, kn = jax.random.split(key)
+    if split_in_middle:
+        x1 = jax.random.uniform(kx, (n // 2, 1), minval=-4.0, maxval=-1.0)
+        x2 = jax.random.uniform(jax.random.fold_in(kx, 1), (n - n // 2, 1),
+                                minval=0.0, maxval=3.0)
+        x = jnp.concatenate([x1, x2], axis=0)
+        x = jax.random.permutation(kx, x)
+    else:
+        x = jax.random.uniform(kx, (n, 1), minval=-4.0, maxval=3.0)
+    y = sine_fn(x) + noise * jax.random.normal(kn, (n, 1))
+    return x, y
+
+
+def xor_dataset(n: int, key: jax.Array, noise: float = 0.05
+                ) -> Tuple[Array, Array]:
+    kz, kn = jax.random.split(key)
+    z = jax.random.uniform(kz, (n, 2))
+    x = (z > 0.5).astype(jnp.float32)
+    y = (x.sum(axis=1) == 1).astype(jnp.int32)
+    x = x + noise * jax.random.normal(kn, (n, 2))
+    return x, y
+
+
+def spiral_dataset(n: int, key: jax.Array, noise: float = 0.05
+                   ) -> Tuple[Array, Array]:
+    assert n % 2 == 0
+    half = n // 2
+    k1, k2, k3 = jax.random.split(key, 3)
+    r = jax.random.uniform(k1, (half, 1))
+    theta = r * 3.0 * jnp.pi
+    arm0 = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+    arm1 = jnp.concatenate([r * jnp.cos(theta + jnp.pi),
+                            r * jnp.sin(theta + jnp.pi)], axis=1)
+    arm0 = arm0 + noise * jax.random.normal(k2, arm0.shape)
+    arm1 = arm1 + noise * jax.random.normal(k3, arm1.shape)
+    x = jnp.concatenate([arm0, arm1]).astype(jnp.float32)
+    y = jnp.concatenate([jnp.zeros(half), jnp.ones(half)]).astype(jnp.int32)
+    perm = jax.random.permutation(jax.random.fold_in(key, 99), n)
+    return x[perm], y[perm]
+
+
+def ring_dataset(n: int, key: jax.Array, radius: float = 2.0,
+                 width: float = 0.15, noise: float = 0.02
+                 ) -> Tuple[Array, Array]:
+    k1, k2, k3 = jax.random.split(key, 3)
+    r = radius + jax.random.uniform(k1, (n, 1)) * width
+    theta = jax.random.uniform(k2, (n, 1)) * 2.0 * jnp.pi
+    x = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+    x = x + noise * jax.random.normal(k3, x.shape)
+    y = jax.random.bernoulli(k3, 0.5, (n,)).astype(jnp.int32)
+    return x, y
+
+
+def banana_dataset(n: int, key: jax.Array, noise: float = 0.05
+                   ) -> Tuple[Array, Array]:
+    """Two interleaved arches + a line/blob per class (reference's 'banana')."""
+    k0, k1, kn = jax.random.split(key, 3)
+    half = n // 2
+
+    # class 1: cosine arch shifted down + short slanted line
+    arch_n = int(half * 0.8)
+    ax = jax.random.uniform(k0, (arch_n, 1), minval=-1.0, maxval=1.0)
+    ay = jnp.cos(1.5 * ax) - 0.7
+    arch = jnp.concatenate([ax, ay], axis=1)
+    arch = arch + noise * jax.random.normal(kn, arch.shape)
+    line_n = half - arch_n
+    lx = jax.random.uniform(jax.random.fold_in(k0, 1), (line_n, 1),
+                            minval=0.0, maxval=1.0)
+    ly = 1.5 - 0.2 * lx
+    line = jnp.concatenate([lx, ly], axis=1)
+    line = line + noise * jax.random.normal(jax.random.fold_in(kn, 1),
+                                            line.shape)
+    x1cls = jnp.concatenate([arch, line])
+    y1 = jnp.ones(half, dtype=jnp.int32)
+
+    # class 0: wider cosine arch + a blob underneath
+    arch_n = int(half * 0.6)
+    bx = jax.random.uniform(k1, (arch_n, 1), minval=-1.0, maxval=1.1)
+    by = jnp.cos(1.6 * bx)
+    barch = jnp.concatenate([bx, by], axis=1)
+    barch = barch + noise * jax.random.normal(jax.random.fold_in(kn, 2),
+                                              barch.shape)
+    blob_n = half - arch_n
+    cx = jax.random.uniform(jax.random.fold_in(k1, 1), (blob_n, 1),
+                            minval=-0.4, maxval=0.5)
+    cy = noise * 1.5 * jax.random.normal(jax.random.fold_in(kn, 3),
+                                         (blob_n, 1)) - 0.5
+    blob = jnp.concatenate([cx, cy], axis=1)
+    blob = blob + noise * jax.random.normal(jax.random.fold_in(kn, 4),
+                                            blob.shape)
+    x0cls = jnp.concatenate([barch, blob])
+    y0 = jnp.zeros(half, dtype=jnp.int32)
+
+    x = jnp.concatenate([x1cls, x0cls])
+    y = jnp.concatenate([y1, y0])
+    perm = jax.random.permutation(jax.random.fold_in(key, 1337), x.shape[0])
+    return x[perm], y[perm]
+
+
+GENERATORS = {
+    "sine": sine_dataset,
+    "xor": xor_dataset,
+    "spiral": spiral_dataset,
+    "ring": ring_dataset,
+    "banana": banana_dataset,
+}
+
+
+def create_dataset(name: str, n: int, key: jax.Array, noise: float = 0.05,
+                   **kwargs) -> Tuple[Array, Array]:
+    if name not in GENERATORS:
+        raise ValueError(f"unknown toy dataset: {name}")
+    return GENERATORS[name](n, key, noise=noise, **kwargs)
+
+
+def save_dataset(x: Array, y: Array, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, x=np.asarray(x), y=np.asarray(y))
+
+
+def load_dataset(path: str) -> Tuple[Array, Array]:
+    data = np.load(path)
+    return jnp.asarray(data["x"]), jnp.asarray(data["y"])
+
+
+def train_test_val_split(x: Array, y: Array,
+                         fractions=(0.8, 0.10, 0.10)):
+    """80/10/10 split (reference ``src/toydata.py:247-257``)."""
+    n = x.shape[0]
+    n_train = int(fractions[0] * n)
+    n_test = n_train + int(fractions[1] * n)
+    return ((x[:n_train], y[:n_train]),
+            (x[n_train:n_test], y[n_train:n_test]),
+            (x[n_test:], y[n_test:]))
+
+
+def ensure_toy_npz(name: str, data_dir: str = "data", n: int = 512,
+                   noise: float = 0.05, seed: int = 42, **kwargs) -> str:
+    """Generate-and-cache a toy dataset npz (hermetic: no torch downloads)."""
+    path = os.path.join(data_dir, f"{name}.npz")
+    if not os.path.exists(path):
+        x, y = create_dataset(name, n, jax.random.PRNGKey(seed), noise=noise,
+                              **kwargs)
+        save_dataset(x, y, path)
+    return path

@@ -1,0 +1,177 @@
+"""Posterior weight sampling via a matrix-free inverse matrix square root.
+
+Draws ``δθ ~ N(0, S⁻¹)`` with ``S = αI + β W Wᵀ`` (the inducing-point
+curvature) by applying ``S^{-1/2}`` to standard normal noise.
+
+Parity: ``/root/reference/src/sample.py`` — which implements the
+Fasi–Higham–Liu low-rank-update identity with a CG null-space projector, a
+Lanczos inner inverse-sqrt over ``2M`` matvecs, and a global eigenvalue clip
+at 1.0 for stability. TPU-first redesign collapses all of that into **one**
+small eigendecomposition:
+
+With ``G = WᵀW = V Λ Vᵀ`` (``d×d``, d = M·K):
+
+    S^{-1/2} ε = α^{-1/2} ε + W V diag(g(λ)) Vᵀ (Wᵀ ε),
+    g(λ) = ((α + βλ)^{-1/2} − α^{-1/2}) / λ   for λ > tol,  else 0.
+
+This is algebraically identical to the reference's two-term formula (null
+space + range space) but:
+
+* exact — no Lanczos truncation, no CG tolerance, no eigenvalue clipping;
+* correct for **rank-deficient** ``G`` (softmax-CE factors always are:
+  ``L_i`` kills the all-ones direction, so ``rank(G) ≤ M(K-1)``; the
+  reference solves against the singular Gram and relies on f64 round-off),
+* one MXU-matmul pass over the sample batch: ``Wᵀ`` on all probes at once,
+  a ``d×d`` eigh, ``W`` on all probes at once. Samples are vmapped, not
+  ``lax.map``-serialized (reference ``/root/reference/src/sample.py:155``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from laplace_inducing_points_tpu.core import operators as ops
+from laplace_inducing_points_tpu.ops import lanczos as lz
+
+
+def _g_weights(lam: jnp.ndarray, alpha, beta,
+               rank_tol: float = 1e-7) -> jnp.ndarray:
+    """Spectral weights g(λ) with pseudo-inverse thresholding."""
+    lam_max = jnp.max(lam)
+    mask = lam > rank_tol * jnp.maximum(lam_max, 1.0)
+    lam_safe = jnp.where(mask, lam, 1.0)
+    g = (1.0 / jnp.sqrt(alpha + beta * lam_safe)
+         - 1.0 / jnp.sqrt(alpha)) / lam_safe
+    return jnp.where(mask, g, 0.0)
+
+
+def inv_matsqrt_gram(gram: jnp.ndarray, alpha, beta,
+                     rank_tol: float = 1e-7):
+    """Precompute the spectral factor; returns (V·diag(g)·Vᵀ, d×d)."""
+    lam, V = jnp.linalg.eigh(ops.ensure_symmetry(gram, jitter=0.0))
+    g = _g_weights(lam, alpha, beta, rank_tol)
+    return (V * g) @ V.T
+
+
+def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
+                     full_set_size: Optional[int] = None,
+                     rank_tol: float = 1e-7,
+                     gram_block: Optional[int] = None,
+                     materialize_w: bool = True
+                     ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build ``Eps (P, D) ↦ S^{-1/2} Eps`` for ``S = αI + β W Wᵀ``.
+
+    ``materialize_w=True`` uses the dense ``Wᵀ`` rows (one vmapped jacrev +
+    two MXU matmuls per call); ``False`` stays matrix-free (batched jvp/vjp
+    probes) for parameter counts where ``d×D`` does not fit.
+    """
+    M = Z.shape[0]
+    N = full_set_size or M
+    beta = N / M
+    inv_sqrt_alpha = 1.0 / jnp.sqrt(alpha)
+
+    if materialize_w:
+        R = ops.dense_wt(state, Z)                     # (d, D), scale 1
+        gram = ops.pdot(R, R.T)
+        core = inv_matsqrt_gram(gram, alpha, beta, rank_tol)   # (d, d)
+
+        def apply(eps: jnp.ndarray) -> jnp.ndarray:
+            U = ops.pdot(eps, R.T)                     # (P, d) = (Wᵀ ε)ᵀ
+            return inv_sqrt_alpha * eps + ops.pdot(ops.pdot(U, core.T), R)
+
+        return apply
+
+    w = ops.make_w_factor(state, Z, full_set_size=None)
+    gram = w.gram(block=gram_block)
+    core = inv_matsqrt_gram(gram, alpha, beta, rank_tol)
+    M_, K_ = w.inner_shape
+
+    def apply(eps: jnp.ndarray) -> jnp.ndarray:
+        U = w.t_matmat(eps).reshape(eps.shape[0], -1)          # (P, d)
+        mixed = ops.pdot(U, core.T).reshape(-1, M_, K_)
+        return inv_sqrt_alpha * eps + w.matmat(mixed)
+
+    return apply
+
+
+def make_inv_matsqrt_lanczos(state: Any, Z: jnp.ndarray, alpha,
+                             full_set_size: Optional[int] = None,
+                             num_matvecs: Optional[int] = None,
+                             eig_clip_min: Optional[float] = None
+                             ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Reference-parity variant: Lanczos inner inverse-sqrt + Gram solves.
+
+    Mirrors ``inv_matsqrt_vp`` (``/root/reference/src/sample.py:55-145``):
+    null-space term ``α^{-1/2}(I − W G⁻¹ Wᵀ)`` plus range term
+    ``W G⁻¹ (αI + β G)^{-1/2} Wᵀ`` with the inner function via
+    ``funm_lanczos_sym`` over ``2M`` matvecs. ``eig_clip_min=1.0``
+    reproduces the reference's monkeypatched clip. Kept for parity tests and
+    as the fallback when even the ``d×d`` eigh is too large.
+    """
+    M = Z.shape[0]
+    N = full_set_size or M
+    beta = N / M
+    k = num_matvecs or 2 * M
+
+    w = ops.make_w_factor(state, Z, full_set_size=None)
+    R = ops.dense_wt(state, Z)
+    gram = ops.pdot(R, R.T)
+    d = gram.shape[0]
+    # pseudo-inverse solve for the (generally singular) CE Gram
+    lam, V = jnp.linalg.eigh(ops.ensure_symmetry(gram, jitter=0.0))
+    mask = lam > 1e-7 * jnp.maximum(jnp.max(lam), 1.0)
+    inv_lam = jnp.where(mask, 1.0 / jnp.where(mask, lam, 1.0), 0.0)
+    gram_pinv = (V * inv_lam) @ V.T
+
+    inner_mv = lambda u: alpha * u + beta * (gram @ u)
+
+    def single(eps: jnp.ndarray) -> jnp.ndarray:
+        u = ops.pdot(R, eps)                                   # Wᵀ ε (d,)
+        x = gram_pinv @ u
+        nullproj = (eps - ops.pdot(x, R)) / jnp.sqrt(alpha)
+        y = lz.funm_lanczos_sym(lambda t: 1.0 / jnp.sqrt(t), inner_mv, u, k,
+                                clip_min=eig_clip_min)
+        range_term = ops.pdot(gram_pinv @ y, R)
+        return nullproj + range_term
+
+    return lambda Eps: jax.vmap(single)(Eps)
+
+
+def inv_matsqrt_dense(state: Any, Z: jnp.ndarray, alpha,
+                      full_set_size: Optional[int] = None) -> jnp.ndarray:
+    """Dense ``D×D`` twin for tests (parity: ``inv_matsqrt_dense``,
+    ``/root/reference/src/sample.py:16-52``)."""
+    M = Z.shape[0]
+    N = full_set_size or M
+    beta = N / M
+    R = ops.dense_wt(state, Z)                                 # (d, D)
+    S = alpha * jnp.eye(R.shape[1]) + beta * ops.pdot(R.T, R)
+    evals, evecs = jnp.linalg.eigh(S)
+    return (evecs / jnp.sqrt(jnp.clip(evals, 1e-12))) @ evecs.T
+
+
+def sample(state: Any, Z: jnp.ndarray, alpha, key: jax.Array, *,
+           num_samples: int = 1, full_set_size: Optional[int] = None,
+           method: str = "gram_eigh", **kwargs) -> jnp.ndarray:
+    """Draw ``(num_samples, D)`` zero-mean posterior weight perturbations.
+
+    Parity: ``sample`` (``/root/reference/src/sample.py:148-156``).
+    """
+    from laplace_inducing_points_tpu.core.params import flatten_nn_params
+    D = flatten_nn_params(state.params)[0].shape[0]
+    eps = jax.random.normal(key, (num_samples, D))
+    if method == "gram_eigh":
+        apply = make_inv_matsqrt(state, Z, alpha, full_set_size, **kwargs)
+    elif method == "lanczos":
+        apply = make_inv_matsqrt_lanczos(state, Z, alpha, full_set_size,
+                                         **kwargs)
+    elif method == "dense":
+        mat = inv_matsqrt_dense(state, Z, alpha, full_set_size)
+        apply = lambda E: ops.pdot(E, mat.T)
+    else:
+        raise ValueError(f"unknown sampling method: {method}")
+    return apply(eps)

@@ -1,0 +1,83 @@
+"""Checkpointing: orbax for train states, npz for inducing-point arrays.
+
+Parity: ``/root/reference/src/utils.py:20-75`` (flax ``checkpoints`` +
+raw ``.npy``). TPU-first: orbax — sharding-aware, async-capable, and the
+supported path on current JAX (flax's legacy checkpointing is deprecated).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _mgr(ckpt_dir: str) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+
+
+def save_train_state(state: Any, ckpt_dir: str, step: int) -> None:
+    """Save params/batch_stats/opt_state/step under ``ckpt_dir/<step>``."""
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    with ocp.CheckpointManager(path) as mgr:
+        payload = {
+            "params": state.params,
+            "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+        mgr.wait_until_finished()
+    print(f"[checkpoint] saved train state at step {step} in {path}")
+
+
+def load_train_state(state: Any, ckpt_dir: str,
+                     step: Optional[int] = None) -> Any:
+    """Restore into the template ``state`` (latest step by default)."""
+    path = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(path) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        template = {
+            "params": state.params,
+            "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    print(f"[checkpoint] restored train state from {path} step {step}")
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+    if restored["batch_stats"]:
+        new_state = new_state.replace(batch_stats=restored["batch_stats"])
+    return new_state
+
+
+def save_array(array, ckpt_dir: str, name: str, step: int) -> str:
+    """Save an array checkpoint (inducing points) as npz.
+
+    Parity: ``save_array_checkpoint`` (``/root/reference/src/utils.py:20-29``).
+    """
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    fn = os.path.join(path, f"{name}_{step}.npz")
+    np.savez(fn, array=np.asarray(array))
+    print(f"[checkpoint] saved array '{name}' step {step} -> {fn}")
+    return fn
+
+
+def load_array(ckpt_dir: str, name: str, step: int):
+    fn = os.path.join(os.path.abspath(ckpt_dir), f"{name}_{step}.npz")
+    if not os.path.exists(fn):
+        raise FileNotFoundError(fn)
+    arr = np.load(fn)["array"]
+    print(f"[checkpoint] loaded array '{name}' from {fn}")
+    return jax.device_put(arr)

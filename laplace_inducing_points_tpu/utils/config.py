@@ -1,0 +1,63 @@
+"""YAML config loading with schema defaults.
+
+Parity: ``load_yaml`` (``/root/reference/src/utils.py:78-81``) and the nested
+``model:`` / ``optimization:{alpha, full_set_size, map:{...}, ip:{...}}``
+(+ optional ``sampling:``) schema of ``/root/reference/config/**``. Defaults
+are applied here once so downstream code never calls ``.get`` with inline
+fallbacks (the reference scatters these, e.g. ``main.py:134-136``).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict
+
+import yaml
+
+IP_DEFAULTS = {
+    "m": 50,
+    "batch_size": 128,
+    "epochs": 200,
+    "lr": 0.01,
+    "mc_samples": 100,
+    "seed": 0,
+    "st_samples": 256,
+    "slq_samples": 2,
+    "slq_num_matvecs": None,
+    "objective": "gram",        # framework default: exact Gram objective
+}
+
+MAP_DEFAULTS = {
+    "batch_size": 32,
+    "epochs": 100,
+    "lr": 1e-3,
+    "seed": 0,
+    "schedule": "constant",     # or "cosine"
+}
+
+SAMPLING_DEFAULTS = {
+    "mc_samples": 100,
+    "method": "gram_eigh",      # or "lanczos"
+    "invsqrt_num_matvecs": None,
+}
+
+
+def load_yaml(path: str) -> Dict[str, Any]:
+    with open(path, "r") as f:
+        return yaml.safe_load(f)
+
+
+def load_experiment_config(path: str) -> Dict[str, Any]:
+    """Load and normalize an experiment config."""
+    cfg = load_yaml(path)
+    opt = cfg.setdefault("optimization", {})
+    for section, defaults in (("map", MAP_DEFAULTS), ("ip", IP_DEFAULTS)):
+        merged = copy.deepcopy(defaults)
+        merged.update(opt.get(section, {}))
+        opt[section] = merged
+    sampling = copy.deepcopy(SAMPLING_DEFAULTS)
+    sampling.update(cfg.get("sampling", {}))
+    cfg["sampling"] = sampling
+    opt.setdefault("alpha", 1.0)
+    opt.setdefault("full_set_size", None)
+    return cfg

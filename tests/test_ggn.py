@@ -1,0 +1,155 @@
+"""Dense-twin tests for the batched curvature operator layer.
+
+Mirrors the reference's test strategy (``/root/reference/tests/test_ggn.py``):
+the matrix-free operators must agree with independently-constructed dense
+curvature, and the GGN must equal the exact Hessian for models linear in
+their parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from laplace_inducing_points_tpu.core import operators as ops
+from laplace_inducing_points_tpu.core.params import flatten_nn_params
+
+from fixtures import (XS_1D, YS_1D, classifier_state, linear_regressor_state,
+                      mlp_regressor_state)
+
+jax.config.update("jax_enable_x64", False)
+
+
+def _per_example_ggn_dense(state, Z):
+    """Independent dense construction: sum_i J_i^T H_i J_i via jax.jacobian."""
+    flat, unravel = flatten_nn_params(state.params)
+    kind = state.model_kind
+
+    def f_single(p, zi):
+        return ops.model_outputs(state, {**unravel(p),
+                                         **{k: v for k, v in state.params.items()
+                                            if k in ("logvar",)}},
+                                 zi[None])[0]
+
+    total = jnp.zeros((flat.size, flat.size))
+    for i in range(Z.shape[0]):
+        J = jax.jacobian(lambda p: f_single(p, Z[i]))(flat)     # (K, D)
+        fz = f_single(flat, Z[i])
+        if kind == "classifier":
+            p = jax.nn.softmax(fz)
+            H = jnp.diag(p) - jnp.outer(p, p)
+        else:
+            H = jnp.exp(-state.params["logvar"]) * jnp.eye(fz.shape[-1])
+        total = total + J.T @ H @ J
+    return total
+
+
+def test_ggn_equals_exact_hessian_linear_model():
+    """For a param-linear regressor, GGN == Hessian of the total Gaussian NLL."""
+    _, state = linear_regressor_state()
+    flat, unravel = flatten_nn_params(state.params)
+    logvar = state.params["logvar"]
+
+    def total_nll(p):
+        mu = ops.model_outputs(state, {**unravel(p), "logvar": logvar}, XS_1D)
+        var = jnp.exp(logvar)
+        return jnp.sum(0.5 * ((mu - YS_1D) ** 2 / var))
+
+    H_exact = jax.hessian(total_nll)(flat)
+    ggn = ops.make_ggn_operator(state, XS_1D)
+    assert jnp.allclose(ggn.dense(), H_exact, atol=1e-5)
+
+
+@pytest.mark.parametrize("case", ["regressor", "classifier"])
+def test_dense_ggn_matches_per_example_construction(case):
+    if case == "regressor":
+        _, state = mlp_regressor_state()
+        Z = XS_1D
+    else:
+        _, state, (x, _) = classifier_state()
+        Z = x[:8]
+    ref = _per_example_ggn_dense(state, Z)
+    ggn = ops.make_ggn_operator(state, Z)
+    assert jnp.allclose(ggn.dense(), ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("case", ["regressor", "classifier"])
+def test_ggn_matvec_matches_dense(case):
+    if case == "regressor":
+        _, state = mlp_regressor_state()
+        Z = XS_1D
+    else:
+        _, state, (x, _) = classifier_state()
+        Z = x[:8]
+    ggn = ops.make_ggn_operator(state, Z)
+    G = ggn.dense()
+    eye = jnp.eye(G.shape[0])
+    via_mvp = ggn.matmat(eye).T
+    assert jnp.allclose(via_mvp, G, rtol=1e-4, atol=1e-3)
+
+
+def test_w_factor_composite_equals_ggn():
+    """W ∘ Wᵀ == GGN (matrix-free composite against dense)."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:8]
+    w = ops.make_w_factor(state, Z)
+    ggn = ops.make_ggn_operator(state, Z)
+    G = ggn.dense()
+    eye = jnp.eye(G.shape[0])
+    composite = jax.vmap(lambda v: w.matvec(w.t_matvec(v)))(eye).T
+    assert jnp.allclose(composite, G, atol=1e-4)
+
+
+def test_dense_wt_rows_reproduce_ggn():
+    _, state, (x, _) = classifier_state()
+    Z = x[:8]
+    R = ops.dense_wt(state, Z)
+    ggn = ops.make_ggn_operator(state, Z)
+    assert jnp.allclose(ops.pdot(R.T, R), ggn.dense(), atol=1e-4)
+
+
+def test_gram_matches_dense_wt():
+    _, state, (x, _) = classifier_state()
+    Z = x[:6]
+    w = ops.make_w_factor(state, Z)
+    R = ops.dense_wt(state, Z)
+    G_blocked = w.gram(block=5)      # exercise the block/tail path
+    G_full = w.gram()
+    G_ref = ops.pdot(R, R.T)
+    assert jnp.allclose(G_full, G_ref, atol=1e-4)
+    assert jnp.allclose(G_blocked, G_ref, atol=1e-4)
+
+
+def test_recalibration_scaling():
+    _, state, (x, _) = classifier_state()
+    Z = x[:4]
+    N = 40
+    g1 = ops.make_ggn_operator(state, Z).dense()
+    gN = ops.make_ggn_operator(state, Z, full_set_size=N).dense()
+    assert jnp.allclose(gN, (N / Z.shape[0]) * g1, rtol=1e-4, atol=1e-3)
+
+    w1 = ops.dense_wt(state, Z, scale=1.0)
+    import math
+    wN = ops.make_w_factor(state, Z, full_set_size=N)
+    v = jax.random.normal(jax.random.PRNGKey(0), (w1.shape[1],))
+    assert jnp.allclose(wN.t_matvec(v).reshape(-1),
+                        math.sqrt(N / Z.shape[0]) * (w1 @ v),
+                        rtol=1e-4, atol=1e-3)
+
+
+def test_curvature_adds_alpha_identity():
+    _, state, (x, _) = classifier_state()
+    Z = x[:4]
+    alpha = 0.37
+    s_vp = ops.make_curvature_operator(state, Z, alpha)
+    ggn = ops.make_ggn_operator(state, Z)
+    v = jax.random.normal(jax.random.PRNGKey(1), (ggn.num_params,))
+    assert jnp.allclose(s_vp(v), ggn.matvec(v) + alpha * v, atol=1e-5)
+    S = ops.curvature_dense(state, Z, alpha)
+    assert jnp.allclose(S, ggn.dense() + alpha * jnp.eye(S.shape[0]), atol=1e-5)
+
+
+def test_ggn_psd():
+    _, state, (x, _) = classifier_state()
+    G = ops.make_ggn_operator(state, x[:8]).dense()
+    evals = jnp.linalg.eigvalsh(0.5 * (G + G.T))
+    assert jnp.all(evals > -1e-5)

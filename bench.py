@@ -1,0 +1,139 @@
+"""Benchmark harness: GGN-MVP throughput on the flagship curvature path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the framework's batched GGN probe sweep (one linearize of the
+batch-applied network; probes vmapped onto the MXU) against a
+reference-faithful implementation of the same contraction — a sequential
+``fori_loop`` over examples with per-example jvp/vjp pairs, vmapped over
+probes, exactly the structure of ``compute_ggn_vp``
+(``/root/reference/src/ggn.py:97-146``) under Hutch++'s ``apply_X``
+(``/root/reference/src/stochtrace.py:113``). Both run on the same device,
+so ``vs_baseline`` isolates the architectural win (BASELINE.md's north-star
+is >=10x the reference's solve throughput).
+
+Model: LeNet5 (~62k params), M=128 examples, P=16 probes — the FMNIST/MNIST
+experiment shape from the reference's scale configs.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from laplace_inducing_points_tpu.core import operators as ops
+from laplace_inducing_points_tpu.core import loss_hessians as lh
+from laplace_inducing_points_tpu.core.params import flatten_nn_params
+from laplace_inducing_points_tpu.models.scale import LeNet5
+from laplace_inducing_points_tpu.models.state import create_train_state
+
+M = 128          # examples in the curvature batch
+P = 16           # probe vectors per sweep
+REPS = 10        # timed sweeps
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build():
+    model = LeNet5()
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, 28, 28, 1))
+    state = create_train_state(model, jax.random.PRNGKey(1), x[:1],
+                               optax.adam(1e-3), model_kind="classifier")
+    D = flatten_nn_params(state.params)[0].shape[0]
+    probes = jax.random.rademacher(jax.random.PRNGKey(2), (P, D),
+                                   dtype=jnp.float32)
+    return state, x, probes, D
+
+
+def batched_sweep_fn(state, Z):
+    """Framework path: one linearization, probes vmapped."""
+    @jax.jit
+    def sweep(V):
+        ggn = ops.make_ggn_operator(state, Z)
+        return ggn.matmat(V)
+    return sweep
+
+
+def reference_style_sweep_fn(state, Z):
+    """Reference-faithful path: sequential per-example jvp/H/vjp loop."""
+    flat, unravel = flatten_nn_params(state.params)
+
+    def f_single(p, zi):
+        params = {**unravel(p)}
+        variables = {"params": params}
+        return state.apply_fn(variables, zi[None], train=False)[0]
+
+    def ggn_vp(v):
+        def body(i, acc):
+            zi = jax.lax.dynamic_index_in_dim(Z, i, keepdims=False)
+            fzi = lambda p: f_single(p, zi)
+            _, jv = jax.jvp(fzi, (flat,), (v,))
+            f_val = fzi(flat)
+            pr = jax.nn.softmax(f_val)
+            hv = pr * jv - jnp.dot(pr, jv) * pr
+            _, vjp_fn = jax.vjp(fzi, flat)
+            return acc + vjp_fn(hv)[0]
+        return jax.lax.fori_loop(0, M, body, jnp.zeros_like(flat))
+
+    @jax.jit
+    def sweep(V):
+        return jax.vmap(ggn_vp)(V)
+    return sweep
+
+
+def time_sweep(fn, probes, reps=REPS):
+    out = fn(probes)
+    jax.block_until_ready(out)          # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(probes)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def main():
+    log(f"[bench] devices: {jax.devices()}")
+    state, x, probes, D = build()
+    log(f"[bench] LeNet5 D={D}, M={M} examples, P={P} probes")
+
+    fast = batched_sweep_fn(state, x)
+    slow = reference_style_sweep_fn(state, x)
+
+    t_fast, out_fast = time_sweep(fast, probes)
+    log(f"[bench] batched sweep: {t_fast * 1e3:.2f} ms "
+        f"({P / t_fast:.1f} MVP/s)")
+
+    t_slow, out_slow = time_sweep(slow, probes, reps=max(REPS // 5, 2))
+    log(f"[bench] reference-style sweep: {t_slow * 1e3:.2f} ms "
+        f"({P / t_slow:.1f} MVP/s)")
+
+    # agreement check — both compute the same contraction
+    err = float(jnp.max(jnp.abs(out_fast - out_slow))
+                / (jnp.max(jnp.abs(out_slow)) + 1e-12))
+    log(f"[bench] relative agreement: {err:.2e}")
+    # both paths run the model at default (bf16-pass) MXU precision; the
+    # batched vs sequential accumulation orders differ, so ~1e-2 relative
+    # agreement is the expected f32-via-bf16 noise floor
+    if err > 2e-2:
+        log("[bench] WARNING: implementations disagree beyond tolerance")
+        sys.exit(1)
+
+    value = P / t_fast
+    vs_baseline = t_slow / t_fast
+    print(json.dumps({
+        "metric": "ggn_mvps_per_sec_lenet5_m128",
+        "value": round(value, 2),
+        "unit": "GGN-MVP/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,20 +1,26 @@
-"""shard_map'd curvature operators: example/probe axes across the mesh.
+"""Mesh-sharded curvature operators via SPMD partitioning.
 
 The per-example structure of the GGN (``Σ_i J_iᵀ H_i J_i``) makes it
-embarrassingly data-parallel: each device linearizes the network over its
-shard of the point set, applies the batched jvp/H/vjp locally, and a single
-``psum`` over the data axis completes the sum. The reference's equivalent is
-a *sequential* ``fori_loop`` on one device
-(``/root/reference/src/ggn.py:133-144``).
+embarrassingly data-parallel. These helpers express that by **sharding
+annotations only**: the point set ``Z`` is laid out over the mesh's data
+axis, the same batched operator code from ``core.operators`` runs under
+``jit``, and XLA's SPMD partitioner splits the per-example jvp/vjp work and
+inserts the ICI all-reduce for the example-sum — the "annotate shardings,
+let XLA insert collectives" recipe.
 
-Gram builds shard the same way: each device materializes its block of rows
-``R_local = (LᵀJ)_local`` and contributes a strip ``R_local @ R_fullᵀ`` of
-the Gram; the all-gather of ``R`` rides ICI.
+Why not ``shard_map``: the curvature ops differentiate the network w.r.t.
+parameters that are *replicated* across the mesh. Under ``shard_map``, AD's
+replication rule inserts an extra cross-device ``psum`` on the cotangents of
+replicated values, silently multiplying per-example Jacobians by the mesh
+size. jit-level SPMD reasons about the partitioned XLA graph instead and
+has no such hazard. (Found the hard way; see tests/test_sharding.py.)
+
+The reference has no equivalent — it is single-device by construction
+(``/root/reference/src/data.py:86-117``, SURVEY.md §2.12).
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Any, Optional
 
@@ -26,28 +32,27 @@ from laplace_inducing_points_tpu.core import operators as ops
 from laplace_inducing_points_tpu.parallel.mesh import DATA_AXIS
 
 
+def _data_sharded(mesh: Mesh, axis: str) -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def _replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
 def sharded_ggn_matmat(state: Any, Z: jnp.ndarray, V: jnp.ndarray,
                        mesh: Mesh, full_set_size: Optional[int] = None,
                        axis: str = DATA_AXIS) -> jnp.ndarray:
-    """``(P, D) -> (P, D)`` GGN probe sweep with Z sharded over the mesh.
+    """``(P, D) -> (P, D)`` GGN probe sweep, example axis over the mesh."""
+    Z = jax.device_put(Z, _data_sharded(mesh, axis))
+    V = jax.device_put(V, _replicated(mesh))
 
-    Requires ``Z.shape[0]`` divisible by the mesh axis size (pad upstream
-    with ``parallel.mesh.pad_to_multiple`` — padded rows contribute zero
-    only if masked; prefer exact multiples).
-    """
-    M = Z.shape[0]
-    N = full_set_size or M
-    scale = N / M
+    @partial(jax.jit, out_shardings=_replicated(mesh))
+    def sweep(Z, V):
+        ggn = ops.make_ggn_operator(state, Z, full_set_size=full_set_size)
+        return ggn.matmat(V)
 
-    def local(z_shard, v):
-        ggn = ops.make_ggn_operator(state, z_shard, full_set_size=None)
-        out = ggn.matmat(v)                      # unscaled local sum
-        return jax.lax.psum(out, axis)
-
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(axis), P()),
-                       out_specs=P())
-    return scale * fn(Z, V)
+    return sweep(Z, V)
 
 
 def sharded_curvature_matmat(state: Any, Z: jnp.ndarray, V: jnp.ndarray,
@@ -64,37 +69,35 @@ def sharded_dense_wt(state: Any, Z: jnp.ndarray, mesh: Mesh,
                      scale: float = 1.0) -> jnp.ndarray:
     """Materialize ``Wᵀ`` rows with the example axis sharded.
 
-    Output is a global array sharded on its row axis: each device holds the
-    ``(m_local·K, D)`` rows of its examples — no communication at all.
+    Output rows stay sharded over the mesh (each device holds the rows of
+    its examples); downstream matmuls consume the distributed layout.
     """
-    def local(z_shard):
-        return ops.dense_wt(state, z_shard, scale=scale)
+    Z = jax.device_put(Z, _data_sharded(mesh, axis))
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=P(axis),
-                       out_specs=P(axis))
-    return fn(Z)
+    @partial(jax.jit, out_shardings=_data_sharded(mesh, axis))
+    def build(Z):
+        return ops.dense_wt(state, Z, scale=scale)
+
+    return build(Z)
 
 
 def sharded_gram(state: Any, Z: jnp.ndarray, mesh: Mesh,
                  axis: str = DATA_AXIS) -> jnp.ndarray:
-    """Dense ``WᵀW`` with per-device row strips + ICI all-gather.
+    """Dense ``WᵀW`` from row-sharded ``Wᵀ``; XLA turns the contraction
+    over the replicated parameter axis into per-device strips + collective."""
+    Z = jax.device_put(Z, _data_sharded(mesh, axis))
 
-    Each device computes its strip ``R_local @ R_fullᵀ`` (1/n of the matmul
-    FLOPs); the result is row-sharded and consumed by replicated small
-    solves downstream (XLA inserts the final gather lazily).
-    """
-    def local(z_shard):
-        R_local = ops.dense_wt(state, z_shard)               # (d_l, D)
-        R_full = jax.lax.all_gather(R_local, axis, tiled=True)
-        return ops.pdot(R_local, R_full.T)                   # (d_l, d)
+    @partial(jax.jit, out_shardings=_replicated(mesh))
+    def build(Z):
+        R = ops.dense_wt(state, Z)
+        R = jax.lax.with_sharding_constraint(R, _data_sharded(mesh, axis))
+        return ops.pdot(R, R.T)
 
-    fn = jax.shard_map(local, mesh=mesh, in_specs=P(axis),
-                       out_specs=P(axis))
-    return fn(Z)
+    return build(Z)
 
 
 def shard_probes(probes: jnp.ndarray, mesh: Mesh,
                  axis: str = DATA_AXIS) -> jnp.ndarray:
     """Lay the probe axis across the mesh; vmapped operator sweeps then
-    partition automatically under jit (SPMD, no shard_map needed)."""
-    return jax.device_put(probes, NamedSharding(mesh, P(axis)))
+    partition along it automatically under jit."""
+    return jax.device_put(probes, _data_sharded(mesh, axis))

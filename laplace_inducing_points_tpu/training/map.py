@@ -62,7 +62,7 @@ def _loss(state: TrainState, params, batch_stats, batch, prior_precision):
     return nll + nlp, new_bs
 
 
-@partial(jax.jit, static_argnames=("prior_precision",), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("prior_precision",))
 def map_step(state: TrainState, batch, prior_precision: float):
     """One MAP optimization step (parity: ``_map_step``,
     ``/root/reference/src/train_map.py:51-86``)."""

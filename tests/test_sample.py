@@ -1,0 +1,104 @@
+"""Posterior sampler tests: spectral inverse-sqrt vs dense twins and moments.
+
+Mirrors ``/root/reference/tests/test_sample.py``'s strategy (dense-vs-
+matrix-free equivalence, moment matching) without its non-hermetic
+checkpoint fixtures or `assert False` scaffolds.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from laplace_inducing_points_tpu.core import operators as ops
+from laplace_inducing_points_tpu.inference import sample as smp
+
+from fixtures import XS_1D, classifier_state, mlp_regressor_state
+
+
+def _dense_S(state, Z, alpha, full_set_size=None):
+    M = Z.shape[0]
+    N = full_set_size or M
+    R = ops.dense_wt(state, Z)
+    return alpha * jnp.eye(R.shape[1]) + (N / M) * ops.pdot(R.T, R)
+
+
+def test_dense_invsqrt_squares_to_inverse():
+    _, state = mlp_regressor_state()
+    alpha = 0.3
+    A = _dense_S(state, XS_1D, alpha)
+    isq = smp.inv_matsqrt_dense(state, XS_1D, alpha)
+    assert jnp.allclose(ops.pdot(isq, isq), jnp.linalg.inv(A),
+                        rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("case", ["regressor", "classifier"])
+def test_gram_eigh_matches_dense(case):
+    """The single-eigh spectral formula equals the dense D×D inverse sqrt."""
+    if case == "regressor":
+        _, state = mlp_regressor_state()
+        Z = XS_1D
+    else:
+        _, state, (x, _) = classifier_state()
+        Z = x[:6]
+    alpha = 0.45
+    N = 30
+    eps = jax.random.normal(jax.random.PRNGKey(0), (5,
+                            ops.linearize_model(state, Z).num_params))
+    apply = smp.make_inv_matsqrt(state, Z, alpha, full_set_size=N)
+    dense = smp.inv_matsqrt_dense(state, Z, alpha, full_set_size=N)
+    assert jnp.allclose(apply(eps), ops.pdot(eps, dense.T),
+                        rtol=1e-3, atol=1e-3)
+
+
+def test_matrix_free_variant_matches_materialized():
+    _, state, (x, _) = classifier_state()
+    Z = x[:4]
+    alpha = 0.2
+    eps = jax.random.normal(jax.random.PRNGKey(1), (3,
+                            ops.linearize_model(state, Z).num_params))
+    a1 = smp.make_inv_matsqrt(state, Z, alpha, materialize_w=True)(eps)
+    a2 = smp.make_inv_matsqrt(state, Z, alpha, materialize_w=False)(eps)
+    assert jnp.allclose(a1, a2, rtol=1e-3, atol=1e-3)
+
+
+def test_lanczos_variant_matches_dense_regressor():
+    """Full-rank (regressor) case: Lanczos parity path == dense twin."""
+    _, state = mlp_regressor_state()
+    alpha = 0.5
+    D = ops.linearize_model(state, XS_1D).num_params
+    eps = jax.random.normal(jax.random.PRNGKey(2), (4, D))
+    apply = smp.make_inv_matsqrt_lanczos(state, XS_1D, alpha,
+                                         num_matvecs=2 * XS_1D.shape[0])
+    dense = smp.inv_matsqrt_dense(state, XS_1D, alpha)
+    assert jnp.allclose(apply(eps), ops.pdot(eps, dense.T),
+                        rtol=5e-3, atol=5e-3)
+
+
+def test_sampler_moments():
+    """Empirical covariance of draws ~= S^{-1} (loose, MC tolerance)."""
+    _, state = mlp_regressor_state()
+    alpha = 1.0
+    S = _dense_S(state, XS_1D, alpha)
+    cov_true = jnp.linalg.inv(S)
+    draws = smp.sample(state, XS_1D, alpha, jax.random.PRNGKey(3),
+                       num_samples=4000)
+    cov_emp = jnp.cov(draws.T)
+    scale = jnp.max(jnp.abs(cov_true))
+    assert jnp.max(jnp.abs(cov_emp - cov_true)) < 0.15 * scale
+    assert jnp.max(jnp.abs(jnp.mean(draws, 0))) < 0.15 * jnp.sqrt(scale)
+
+
+def test_nullspace_range_split():
+    """On ker(Wᵀ), S^{-1/2} acts as α^{-1/2}·I (the null-space branch)."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:4]
+    alpha = 0.7
+    R = ops.dense_wt(state, Z)                     # (d, D)
+    D = R.shape[1]
+    v = jax.random.normal(jax.random.PRNGKey(4), (D,))
+    # project v onto ker(R) = complement of row space
+    q, _ = jnp.linalg.qr(R.T, mode="reduced")
+    v_ker = v - q @ (q.T @ v)
+    apply = smp.make_inv_matsqrt(state, Z, alpha)
+    out = apply(v_ker[None])[0]
+    assert jnp.allclose(out, v_ker / jnp.sqrt(alpha), rtol=1e-3, atol=1e-3)

@@ -1,0 +1,132 @@
+"""Training-layer tests: MAP convergence, priors, alpha optimization, data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from laplace_inducing_points_tpu.data.loader import (ArrayDataset, DataLoader,
+                                                     cycling_batches,
+                                                     make_dataloaders)
+from laplace_inducing_points_tpu.data.toy import (banana_dataset,
+                                                  create_dataset,
+                                                  train_test_val_split)
+from laplace_inducing_points_tpu.models.state import create_train_state
+from laplace_inducing_points_tpu.models.toy import SimpleClassifier
+from laplace_inducing_points_tpu.training import alpha as alpha_mod
+from laplace_inducing_points_tpu.training.map import (cosine_lr,
+                                                      eval_classification,
+                                                      l2_prior, map_step,
+                                                      train_map)
+
+from fixtures import blob_data, classifier_state, mlp_regressor_state, XS_1D
+
+
+def test_l2_prior_weight_bias_split():
+    params = {"dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))}}
+    # weights only: 0.5 * 1.0 * 4
+    assert jnp.allclose(l2_prior(params, 1.0, 0.0), 2.0)
+    # + biases at precision 2: 0.5 * 2 * 2
+    assert jnp.allclose(l2_prior(params, 1.0, 2.0), 4.0)
+
+
+def test_map_step_reduces_loss():
+    x, y = blob_data(64, seed=11)
+    model = SimpleClassifier(num_hidden=8, num_layers=1, num_classes=2)
+    state = create_train_state(model, jax.random.PRNGKey(0), x[:1],
+                               optax.adam(5e-2), "classifier")
+    batch = (x, y.reshape(-1, 1).astype(jnp.float32))
+    _, loss0 = map_step(state, batch, 0.01)
+    for _ in range(30):
+        state, loss = map_step(state, batch, 0.01)
+    assert float(loss) < float(loss0) * 0.5
+    nll, acc = eval_classification(state, batch)
+    assert float(acc) > 0.9
+
+
+def test_train_map_full_loop():
+    x, y = blob_data(64, seed=12)
+    ds = ArrayDataset(np.asarray(x), np.asarray(y))
+    train_loader = DataLoader(ds, 32, shuffle=True)
+    test_loader = DataLoader(ds, 32)
+    model = SimpleClassifier(num_hidden=8, num_layers=1, num_classes=2)
+    state = create_train_state(model, jax.random.PRNGKey(0), x[:1],
+                               optax.adam(5e-2), "classifier")
+    state = train_map(state, train_loader, test_loader, num_epochs=20,
+                      alpha=0.01, verbose=False)
+    nll, acc = eval_classification(
+        state, (x, y.reshape(-1, 1).astype(jnp.float32)))
+    assert float(acc) > 0.9
+
+
+def test_log_marginal_likelihood_finite_and_peaked():
+    """Evidence should be finite and not monotone in alpha (has an interior
+    trade-off between prior-fit and complexity)."""
+    _, state, (x, _) = classifier_state()
+    alphas = [1e-3, 1e-1, 1e1, 1e3]
+    vals = [float(alpha_mod.log_marginal_likelihood(a, x[:16], state,
+                                                    full_set_size=32))
+            for a in alphas]
+    assert all(np.isfinite(vals))
+    assert not (vals == sorted(vals) or vals == sorted(vals, reverse=True))
+
+
+def test_update_alpha_moves_toward_better_evidence():
+    _, state, (x, _) = classifier_state()
+    log_alpha = jnp.log(jnp.asarray(1e-4))
+    opt = optax.adam(0.5)
+    opt_state = opt.init(log_alpha)
+    lml0 = alpha_mod.log_marginal_likelihood(jnp.exp(log_alpha), x[:16],
+                                             state, 32)
+    for _ in range(20):
+        log_alpha, opt_state = alpha_mod.update_alpha(
+            log_alpha, opt_state, opt, x[:16], state, 32)
+    lml1 = alpha_mod.log_marginal_likelihood(jnp.exp(log_alpha), x[:16],
+                                             state, 32)
+    assert float(lml1) > float(lml0)
+
+
+def test_cosine_lr_schedule_decays():
+    sched = cosine_lr(1e-2, num_epochs=10, steps_per_epoch=5)
+    assert abs(float(sched(0)) - 1e-2) < 1e-6
+    assert float(sched(49)) < 1e-2
+    assert float(sched(49)) >= 0.08 * 1e-2 - 1e-9
+
+
+# ---- data layer ------------------------------------------------------------
+
+def test_toy_generators_shapes_and_determinism():
+    for name in ("sine", "xor", "spiral", "ring", "banana"):
+        x1, y1 = create_dataset(name, 64, jax.random.PRNGKey(3))
+        x2, y2 = create_dataset(name, 64, jax.random.PRNGKey(3))
+        assert x1.shape[0] == 64 and y1.shape[0] == 64
+        assert jnp.allclose(x1, x2)
+
+
+def test_split_fractions():
+    x, y = banana_dataset(100, jax.random.PRNGKey(4))
+    (tr, te, va) = train_test_val_split(x, y)
+    assert tr[0].shape[0] == 80 and te[0].shape[0] == 10
+
+
+def test_dataloader_drop_last_and_tail():
+    ds = ArrayDataset(np.zeros((70, 2)), np.zeros(70))
+    assert len(DataLoader(ds, 32, drop_last=True)) == 2
+    batches = list(DataLoader(ds, 32, drop_last=False))
+    assert len(batches) == 3 and batches[-1][0].shape[0] == 6
+
+
+def test_cycling_batches_wraps_around():
+    ds = ArrayDataset(np.arange(8).reshape(4, 2).astype(np.float32),
+                      np.zeros(4))
+    loader = DataLoader(ds, 2)
+    it = cycling_batches(loader)
+    seen = [next(it)[0].shape for _ in range(5)]   # > one epoch
+    assert all(s == (2, 2) for s in seen)
+
+
+def test_scale_synthetic_fallback():
+    from laplace_inducing_points_tpu.data.scale import load_arrays
+    x, y = load_arrays("mnist", train=False, root="/nonexistent_dir")
+    assert x.shape[1:] == (28, 28, 1) and x.dtype == np.float32
+    assert y.min() >= 0 and y.max() <= 9

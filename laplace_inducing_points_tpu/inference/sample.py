@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from laplace_inducing_points_tpu.core import operators as ops
 from laplace_inducing_points_tpu.ops import lanczos as lz
+from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
 
 
 def _g_weights(lam: jnp.ndarray, alpha, beta,
@@ -76,7 +77,7 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
 
     if materialize_w:
         R = ops.dense_wt(state, Z)                     # (d, D), scale 1
-        gram = ops.pdot(R, R.T)
+        gram = syrk(R)
         core = inv_matsqrt_gram(gram, alpha, beta, rank_tol)   # (d, d)
 
         def apply(eps: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +120,7 @@ def make_inv_matsqrt_lanczos(state: Any, Z: jnp.ndarray, alpha,
 
     w = ops.make_w_factor(state, Z, full_set_size=None)
     R = ops.dense_wt(state, Z)
-    gram = ops.pdot(R, R.T)
+    gram = syrk(R)
     d = gram.shape[0]
     # pseudo-inverse solve for the (generally singular) CE Gram
     lam, V = jnp.linalg.eigh(ops.ensure_symmetry(gram, jitter=0.0))

@@ -17,6 +17,7 @@ import optax
 from laplace_inducing_points_tpu.core import operators as ops
 from laplace_inducing_points_tpu.core.params import flatten_nn_params
 from laplace_inducing_points_tpu.data.loader import device_iter
+from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
 from laplace_inducing_points_tpu.training.map import (eval_classification,
                                                       eval_regression,
                                                       map_step)
@@ -35,7 +36,7 @@ def log_marginal_likelihood(alpha, X, state,
 
     R = ops.dense_wt(state, X)                        # (d, D), unscaled
     D = R.shape[1]
-    G = ops.pdot(R, R.T)
+    G = syrk(R)
     eye = jnp.eye(G.shape[0], dtype=G.dtype)
     logdet_lowrank = jnp.linalg.slogdet(eye + (rescale / alpha) * G)[1]
     logdet_term = logdet_lowrank + D * jnp.log(alpha)

@@ -33,6 +33,7 @@ import optax
 
 from laplace_inducing_points_tpu.core import operators as ops
 from laplace_inducing_points_tpu.ops import slq as slq_mod
+from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
 from laplace_inducing_points_tpu.ops import stochtrace as st
 
 
@@ -55,7 +56,7 @@ def _grams(state, Z, X):
     """Unscaled Gram blocks through materialized Lᵀ J rows."""
     Rz = ops.dense_wt(state, Z)                      # (d_z, D)
     Rx = ops.dense_wt(state, X)                      # (d_x, D)
-    Gzz = ops.pdot(Rz, Rz.T)
+    Gzz = syrk(Rz)
     Gxz = ops.pdot(Rx, Rz.T)
     tr_Gxx = jnp.sum(Rx * Rx)
     return Gzz, Gxz, tr_Gxx, Rz.shape[1]
@@ -126,7 +127,7 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
                                        lin=lin_x)
     wz = ops.make_w_factor(state, Z, full_set_size=None)
     Rz = ops.dense_wt(state, Z)
-    Gzz = ops.pdot(Rz, Rz.T)
+    Gzz = syrk(Rz)
     d_z = Gzz.shape[0]
     eye = jnp.eye(d_z, dtype=Gzz.dtype)
     Mi = eye / beta + a_inv * Gzz

@@ -43,3 +43,9 @@ eval-mnist:
 dryrun:
 	$(CPU_ENV) XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun OK')"
+
+# ---- native data engine ----------------------------------------------------
+native: native/liblip_data.so
+
+native/liblip_data.so: native/lip_data.cpp
+	g++ -O3 -march=native -shared -fPIC -o $@ $<

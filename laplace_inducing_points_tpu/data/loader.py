@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from laplace_inducing_points_tpu.data import native
+
 
 class ArrayDataset:
     """In-memory (x, y) dataset."""
@@ -60,13 +62,16 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.dataset)
-        idx = np.arange(n)
         if self.shuffle:
-            self._rng.shuffle(idx)
+            # native Fisher-Yates (C++); falls back to numpy without the .so
+            idx = native.shuffle_indices(
+                n, int(self._rng.integers(0, 2**63 - 1)))
+        else:
+            idx = np.arange(n, dtype=np.int64)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for s in range(0, stop, self.batch_size):
             b = idx[s:s + self.batch_size]
-            yield self.dataset.x[b], self.dataset.y[b]
+            yield native.gather_f32(self.dataset.x, b), self.dataset.y[b]
 
 
 def make_dataloaders(train: ArrayDataset, test: ArrayDataset,

@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from laplace_inducing_points_tpu.data import native
 from laplace_inducing_points_tpu.data.loader import ArrayDataset, DataLoader
 
 DATASET_SHAPES = {
@@ -139,17 +140,15 @@ class AugmentedDataset(ArrayDataset):
         super().__init__(x, y)
         self.pad = pad
         self._rng = np.random.default_rng(seed)
-        self._padded = np.pad(
-            self.x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="constant")
+        self._padded = np.ascontiguousarray(np.pad(
+            self.x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+            mode="constant").astype(np.float32))
 
     def take(self, idx: np.ndarray):
-        h = self.x.shape[1]
-        out = np.empty((len(idx),) + self.x.shape[1:], dtype=self.x.dtype)
-        offs = self._rng.integers(0, 2 * self.pad + 1, size=(len(idx), 2))
-        flips = self._rng.random(len(idx)) < 0.5
-        for j, (i, (dy, dx), fl) in enumerate(zip(idx, offs, flips)):
-            img = self._padded[i, dy:dy + h, dx:dx + h]
-            out[j] = img[:, ::-1] if fl else img
+        h, w = self.x.shape[1], self.x.shape[2]
+        out = native.crop_flip_f32(
+            self._padded, np.asarray(idx), h, w, self.pad,
+            int(self._rng.integers(0, 2**63 - 1)))
         return out, self.y[idx]
 
 

@@ -79,7 +79,11 @@ def main(argv=None):
         x, y = load_dataset(args.dataset)
         ds_name = os.path.splitext(os.path.basename(args.dataset))[0]
     else:
-        path = ensure_toy_npz(args.dataset, data_dir=args.data_dir)
+        data_cfg = cfg.get("data") or {}
+        path = ensure_toy_npz(args.dataset, data_dir=args.data_dir,
+                              n=data_cfg.get("n", 512),
+                              noise=data_cfg.get("noise", 0.05),
+                              seed=data_cfg.get("seed", 42))
         x, y = load_dataset(path)
         ds_name = args.dataset
     (tr, te, va) = train_test_val_split(x, y)
@@ -130,6 +134,11 @@ def main(argv=None):
             num_mc_samples=ip_cfg["mc_samples"])
 
     if args.mode in ("train_inducing", "full_pipeline"):
+        cb = None
+        if args.plot_Z and model_kind == "classifier":
+            cb = nplot.make_inducing_callback(ds_name, xtrain=tr[0],
+                                              ytrain=tr[1],
+                                              fig_dir=args.fig_dir)
         Z = train_inducing_points(
             state, z_init, optax.adam(ip_cfg["lr"]), ip_batches,
             alpha=alpha_ip, num_steps=ip_cfg["epochs"],
@@ -137,7 +146,8 @@ def main(argv=None):
             rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
             st_samples=ip_cfg["st_samples"],
             slq_samples=ip_cfg["slq_samples"],
-            slq_num_matvecs=ip_cfg["slq_num_matvecs"])
+            slq_num_matvecs=ip_cfg["slq_num_matvecs"],
+            callback=cb)
         save_array(Z, args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
         print("[DONE] Inducing training.")
     else:

@@ -169,3 +169,37 @@ def ensure_toy_npz(name: str, data_dir: str = "data", n: int = 512,
                               **kwargs)
         save_dataset(x, y, path)
     return path
+
+
+def mnist_pca_subset(classes=(8, 9), n_components: int = 2,
+                     data_dir: str = "data", max_per_class: int = 1000,
+                     seed: int = 0) -> Tuple[Array, Array]:
+    """Binary MNIST subset projected onto its top principal components.
+
+    Parity: ``data_mnist_subset_89`` (``/root/reference/src/toydata.py:166-178``)
+    — the reference loads a pre-baked npz; here the projection is computed
+    from the image dataset directly (synthetic surrogate when MNIST is
+    unavailable offline), making the pipeline hermetic.
+    """
+    from laplace_inducing_points_tpu.data.scale import load_arrays
+
+    x_img, y_img = load_arrays("mnist", train=True, root=data_dir)
+    mask = np.isin(y_img, classes)
+    x_img, y_img = x_img[mask], y_img[mask]
+    rng = np.random.default_rng(seed)
+    keep = []
+    for ci, c in enumerate(classes):
+        idx = np.nonzero(y_img == c)[0]
+        rng.shuffle(idx)
+        keep.append(idx[:max_per_class])
+    keep = np.concatenate(keep)
+    rng.shuffle(keep)
+    flat = x_img[keep].reshape(len(keep), -1)
+    labels = np.searchsorted(np.sort(classes), y_img[keep]).astype(np.int32)
+
+    flat = flat - flat.mean(axis=0, keepdims=True)
+    # top components via SVD of the (n, d) matrix
+    _, _, vt = np.linalg.svd(flat, full_matrices=False)
+    proj = flat @ vt[:n_components].T
+    proj = proj / (proj.std(axis=0, keepdims=True) + 1e-8)
+    return jnp.asarray(proj, jnp.float32), jnp.asarray(labels)

@@ -29,10 +29,21 @@ def batch_logit_samples(state, x, Z, *, alpha, full_set_size, num_mc_samples,
     return dist.sample(rng, num_mc_samples)
 
 
+def _batch_metrics(state, out_samples, y):
+    """Dispatch NLL/score on the model kind: softmax-CE MC-NLL for
+    classifiers, Gaussian MC-NLL (+rmse as the 'acc' slot) for regressors."""
+    if state.model_kind == "regressor":
+        logvar = state.params.get("logvar", 0.0)
+        nll, rmse = metrics.mc_gaussian_nll(out_samples, jnp.asarray(y),
+                                            logvar)
+        return nll, rmse, None
+    return metrics.mc_predictive_nll_acc(out_samples, jnp.asarray(y))
+
+
 def eval_dataset(state, loader: Iterable, Z, *, alpha, full_set_size,
                  num_mc_samples, rng, scalable: bool = True,
                  verbose: bool = False) -> Tuple[float, float]:
-    """Weighted-mean NLL and accuracy over a loader."""
+    """Weighted-mean NLL and accuracy (rmse for regressors) over a loader."""
     tot_nll = tot_acc = tot_n = 0.0
     for x, y in loader:
         rng, sub = jax.random.split(rng)
@@ -40,7 +51,7 @@ def eval_dataset(state, loader: Iterable, Z, *, alpha, full_set_size,
         logits = batch_logit_samples(
             state, x, Z, alpha=alpha, full_set_size=full_set_size,
             num_mc_samples=num_mc_samples, rng=sub, scalable=scalable)
-        nll, acc, _ = metrics.mc_predictive_nll_acc(logits, jnp.asarray(y))
+        nll, acc, _ = _batch_metrics(state, logits, y)
         bs = x.shape[0]
         tot_nll += float(nll) * bs
         tot_acc += float(acc) * bs

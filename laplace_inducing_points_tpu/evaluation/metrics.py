@@ -103,3 +103,26 @@ def auroc_ood(id_probs: np.ndarray, ood_probs: np.ndarray) -> float:
     scores = np.concatenate([ood_scores(id_probs), ood_scores(ood_probs)])
     labels = np.concatenate([np.zeros(len(id_probs)), np.ones(len(ood_probs))])
     return roc_auc(scores, labels)
+
+
+def mc_gaussian_nll(mu_samples: jnp.ndarray, targets: jnp.ndarray,
+                    logvar: jnp.ndarray | float
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MC predictive NLL for Gaussian likelihoods.
+
+    ``−log(1/S Σ_s N(y | μ_s, σ²))`` with the learned observation noise
+    σ² = exp(logvar). Returns (nll, rmse of the posterior-mean predictor).
+    The reference's harness is classification-only
+    (``/root/reference/scale_experiments/evaluate.py:98-154``), which makes
+    its regression grid search silently meaningless; this closes that gap.
+    """
+    S = mu_samples.shape[0]
+    y = targets.reshape(1, *mu_samples.shape[1:])
+    var = jnp.exp(logvar)
+    log_comp = (-0.5 * (jnp.log(2 * jnp.pi * var)
+                        + (mu_samples - y) ** 2 / var))
+    log_comp = log_comp.reshape(S, -1)                      # (S, B·K)
+    log_avg = jax.scipy.special.logsumexp(log_comp, axis=0) - jnp.log(S)
+    nll = -jnp.mean(log_avg)
+    rmse = jnp.sqrt(jnp.mean((mu_samples.mean(0) - y[0]) ** 2))
+    return nll, rmse

@@ -87,14 +87,24 @@ def kl_objective_gram(Z, X, state, alpha, key=None,
     d_z = Gzz.shape[0]
     eye = jnp.eye(d_z, dtype=Gzz.dtype)
 
-    Mi = eye / beta + a_inv * Gzz
-    L = jnp.linalg.cholesky(ops.ensure_symmetry(Mi, jitter=1e-10))
-    Mi_inv_Gzz = jax.scipy.linalg.cho_solve((L, True), Gzz)
-    Mi_inv_Gxz_t = jax.scipy.linalg.cho_solve((L, True), Gxz.T)
+    # Numerically-stable C-form: with Mᵢ = β⁻¹I + α⁻¹Gzz = α⁻¹C,
+    # C = Gzz + (α/β)I keeps every factored matrix at the Gram's own scale
+    # (the naive Mᵢ has entries ~α⁻¹‖Gzz‖, whose f32 Cholesky overflows its
+    # pivot tolerance for small α — observed NaNs on the sine experiment at
+    # α=1e-3). A relative jitter guards the rank-deficient CE case where
+    # λ_min(Gzz)=0 and α/β alone can sit below f32 pivot round-off.
+    C = Gzz + (alpha / beta) * eye
+    jitter = 1e-6 * jnp.mean(jnp.diag(C))
+    L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
+                            + jitter * eye)
+    C_inv_Gzz = jax.scipy.linalg.cho_solve((L, True), Gzz)
+    C_inv_Gxz_t = jax.scipy.linalg.cho_solve((L, True), Gxz.T)
 
-    trace_term = (- a_inv * jnp.trace(Mi_inv_Gzz)
-                  - gamma * a_inv ** 2 * jnp.sum(Gxz.T * Mi_inv_Gxz_t))
-    logdet_term = jnp.linalg.slogdet(eye + (beta * a_inv) * Gzz)[1]
+    trace_term = (- jnp.trace(C_inv_Gzz)
+                  - gamma * a_inv * jnp.sum(Gxz.T * C_inv_Gxz_t))
+    # logdet(I + (β/α)Gzz) = d_z·log(β/α) + logdet(C), via the Cholesky
+    logdet_term = (d_z * jnp.log(beta * a_inv)
+                   + 2.0 * jnp.sum(jnp.log(jnp.diag(L))))
     if include_constants:
         trace_term = trace_term + D + gamma * a_inv * tr_Gxx
         logdet_term = logdet_term + D * jnp.log(alpha)
@@ -130,14 +140,17 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
     Gzz = syrk(Rz)
     d_z = Gzz.shape[0]
     eye = jnp.eye(d_z, dtype=Gzz.dtype)
-    Mi = eye / beta + a_inv * Gzz
-    L = jnp.linalg.cholesky(ops.ensure_symmetry(Mi, jitter=1e-10))
+    # stable C-form Woodbury (see kl_objective_gram): Mᵢ⁻¹ = α·C⁻¹
+    C = Gzz + (alpha / beta) * eye
+    jitter = 1e-6 * jnp.mean(jnp.diag(C))
+    L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
+                            + jitter * eye)
     Mk, Kk = wz.inner_shape
 
     def sz_inv_vp(v):
         u = wz.t_matvec(v).reshape(d_z)
         x = jax.scipy.linalg.cho_solve((L, True), u)
-        return a_inv * v - a_inv ** 2 * wz.matvec(x.reshape(Mk, Kk))
+        return a_inv * v - a_inv * wz.matvec(x.reshape(Mk, Kk))
 
     def composite(V):
         return jax.vmap(lambda v: s_vp(sz_inv_vp(v)))(V)

@@ -197,3 +197,50 @@ def plot_image_grid(batch, *, color: bool = False, step="", name="",
         plt.close(fig)
         return save_path
     return fig, axs
+
+
+def make_inducing_callback(plot_type: Optional[str], xtrain=None, ytrain=None,
+                           every: int = 4, fig_dir: str = "fig",
+                           max_snapshots: int = 3):
+    """Live inducing-point plotting callback for ``train_inducing_points``.
+
+    Parity: the reference's inline plotting in its inducing loop
+    (``/root/reference/src/train_inducing.py:256-321``): 2-D toys get a
+    trajectory overlay on the training data; image datasets get grayscale /
+    color grids of the current Z every ``every`` steps.
+    """
+    if plot_type is None:
+        return None
+
+    trajectory: list = []
+
+    def callback(step: int, Z, loss: float):
+        if step % every != 0:
+            return
+        z_np = np.asarray(Z)
+        os.makedirs(fig_dir, exist_ok=True)
+        if plot_type in ("mnist", "fmnist"):
+            plot_image_grid(z_np[:32], color=False, step=step, name=plot_type,
+                            save_path=os.path.join(fig_dir,
+                                                   f"ips_{plot_type}.png"))
+        elif plot_type == "cifar10":
+            plot_image_grid(z_np[:32], color=True, step=step, name=plot_type,
+                            save_path=os.path.join(fig_dir,
+                                                   f"ips_{plot_type}.png"))
+        elif plot_type in ("spiral", "xor", "banana"):
+            trajectory.append(z_np)
+            del trajectory[:-max_snapshots]
+            traj = np.stack(trajectory)
+            fig, ax = plt.subplots(figsize=(8, 6))
+            ax.plot(traj[:, :, 0], traj[:, :, 1], "-o", color="black",
+                    markersize=2, zorder=7)
+            if xtrain is not None:
+                plot_binary_classification_data(ax, xtrain, ytrain)
+            plot_inducing_points(ax, z_np)
+            ax.set_title(f"Inducing point trajectory after {step} steps "
+                         f"(loss {loss:.2f})")
+            fig.savefig(os.path.join(fig_dir, "ips_trajectory.png"), dpi=120,
+                        bbox_inches="tight")
+            plt.close(fig)
+
+    return callback

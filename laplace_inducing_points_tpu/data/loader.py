@@ -96,9 +96,20 @@ def make_dataloaders(train: ArrayDataset, test: ArrayDataset,
 _SENTINEL = object()
 
 
+def _threading_safe() -> bool:
+    """Background-thread device_put is standard on real TPU/CPU backends but
+    deadlocks over the axon loopback relay (single-client tunnel); fall back
+    to synchronous placement there."""
+    try:
+        return jax.default_backend() != "axon"
+    except Exception:
+        return True
+
+
 def device_iter(loader: Iterable, *, prefetch: int = 2,
                 sharding: Optional[jax.sharding.Sharding] = None,
-                dtype=jnp.float32) -> Iterator:
+                dtype=jnp.float32,
+                threaded: Optional[bool] = None) -> Iterator:
     """Iterate device-resident batches with background prefetch.
 
     Parity: ``make_iter`` (``/root/reference/src/data.py:111-117``), extended
@@ -106,6 +117,9 @@ def device_iter(loader: Iterable, *, prefetch: int = 2,
     mesh's data axis and every batch is laid out across devices before the
     step function runs.
     """
+    if threaded is None:
+        threaded = _threading_safe()
+
     def put(batch):
         x, y = batch
         x = jnp.asarray(x, dtype=dtype)
@@ -117,6 +131,11 @@ def device_iter(loader: Iterable, *, prefetch: int = 2,
             x = jax.device_put(x)
             y = jax.device_put(y)
         return x, y
+
+    if not threaded:
+        for batch in loader:
+            yield put(batch)
+        return
 
     q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
 

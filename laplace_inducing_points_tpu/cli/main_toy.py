@@ -147,6 +147,7 @@ def main(argv=None):
             st_samples=ip_cfg["st_samples"],
             slq_samples=ip_cfg["slq_samples"],
             slq_num_matvecs=ip_cfg["slq_num_matvecs"],
+            example_block=ip_cfg.get("example_block"),
             callback=cb)
         save_array(Z, args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
         print("[DONE] Inducing training.")

@@ -129,7 +129,8 @@ def main(argv=None):
         objective=objective,
         rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
         st_samples=ip_cfg["st_samples"], slq_samples=ip_cfg["slq_samples"],
-        slq_num_matvecs=ip_cfg["slq_num_matvecs"])
+        slq_num_matvecs=ip_cfg["slq_num_matvecs"],
+        example_block=ip_cfg.get("example_block"))
     save_array(Z, args.ckpt_induc, f"ind_{args.dataset}", ip_cfg["epochs"])
     print("[DONE] Inducing training.")
 

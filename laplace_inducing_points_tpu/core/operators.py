@@ -214,26 +214,42 @@ class WFactor:
 
 
 def dense_wt(state: Any, Z: jnp.ndarray, *, scale: jnp.ndarray | float = 1.0,
-             lin: Optional[Linearization] = None) -> jnp.ndarray:
+             lin: Optional[Linearization] = None,
+             example_block: Optional[int] = None) -> jnp.ndarray:
     """Materialize ``Wᵀ ∈ R^{(M·K) × D}`` for a point set ``Z``.
 
     Strategy: vmapped per-example ``jacrev`` (so each of the M·K rows costs
     one single-example backward pass, all batched by XLA), then the loss
     factor ``Lᵀ`` is applied along the class axis in one einsum-like sweep.
+
+    ``example_block``: process examples in ``lax.map`` chunks of this size,
+    bounding peak extra memory to ``block·K·D`` + one chunk's activations
+    (for ResNet-scale D where the full ``(M, K, D)`` jacobian would crowd
+    HBM alongside the model's activations). ``None`` = one sweep.
     """
     lin = lin or linearize_model(state, Z)
     flat = lin.flat_params
+    M = Z.shape[0]
 
-    def per_example_jac(zi):
-        return jax.jacrev(lambda p: lin.f_single(p, zi))(flat)   # (K, D)
+    def per_example_rows(zi, f0i):
+        J = jax.jacrev(lambda p: lin.f_single(p, zi))(flat)       # (K, D)
+        LtJ = lh.sqrt_h_t_apply(lin.model_kind, f0i[None, :], J.T,
+                                lin.logvar)                       # (D, K)
+        return LtJ.T                                              # (K, D)
 
-    J = jax.vmap(per_example_jac)(Z)                              # (M, K, D)
-    # Apply Lᵀ along the K axis for every parameter column: treat D as batch.
-    Jt = jnp.swapaxes(J, 1, 2)                                    # (M, D, K)
-    f0 = lin.f0[:, None, :]                                       # (M, 1, K)
-    LtJ = lh.sqrt_h_t_apply(lin.model_kind, f0, Jt, lin.logvar)   # (M, D, K)
-    R = jnp.swapaxes(LtJ, 1, 2).reshape(-1, flat.shape[0])        # (M·K, D)
-    return scale * R
+    if example_block is None or example_block >= M:
+        R = jax.vmap(per_example_rows)(Z, lin.f0)                 # (M, K, D)
+    else:
+        pad = (-M) % example_block
+        Zp = jnp.concatenate([Z, Z[:pad]]) if pad else Z
+        f0p = jnp.concatenate([lin.f0, lin.f0[:pad]]) if pad else lin.f0
+        chunks_z = Zp.reshape(-1, example_block, *Z.shape[1:])
+        chunks_f = f0p.reshape(-1, example_block, f0p.shape[-1])
+        R = jax.lax.map(
+            lambda args: jax.vmap(per_example_rows)(*args),
+            (chunks_z, chunks_f))
+        R = R.reshape(-1, *R.shape[2:])[:M]                       # (M, K, D)
+    return scale * R.reshape(-1, flat.shape[0])
 
 
 # ---------------------------------------------------------------------------

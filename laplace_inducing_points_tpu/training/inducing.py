@@ -52,10 +52,10 @@ def kl_objective_dense(Z, X, state, alpha, key=None,
     return trace_term + logdet_term
 
 
-def _grams(state, Z, X):
+def _grams(state, Z, X, example_block=None):
     """Unscaled Gram blocks through materialized Lᵀ J rows."""
-    Rz = ops.dense_wt(state, Z)                      # (d_z, D)
-    Rx = ops.dense_wt(state, X)                      # (d_x, D)
+    Rz = ops.dense_wt(state, Z, example_block=example_block)     # (d_z, D)
+    Rx = ops.dense_wt(state, X, example_block=example_block)     # (d_x, D)
     Gzz = syrk(Rz)
     Gxz = ops.pdot(Rx, Rz.T)
     tr_Gxx = jnp.sum(Rx * Rx)
@@ -64,7 +64,8 @@ def _grams(state, Z, X):
 
 def kl_objective_gram(Z, X, state, alpha, key=None,
                       full_set_size: Optional[int] = None,
-                      include_constants: bool = True) -> jnp.ndarray:
+                      include_constants: bool = True,
+                      example_block: Optional[int] = None) -> jnp.ndarray:
     """Exact KL through small Grams (the TPU production objective).
 
     With β=N/M, γ=N/K, Mᵢ = β⁻¹I + α⁻¹Gzz:
@@ -83,7 +84,7 @@ def kl_objective_gram(Z, X, state, alpha, key=None,
     gamma = N / K
     a_inv = 1.0 / alpha
 
-    Gzz, Gxz, tr_Gxx, D = _grams(state, Z, X)
+    Gzz, Gxz, tr_Gxx, D = _grams(state, Z, X, example_block)
     d_z = Gzz.shape[0]
     eye = jnp.eye(d_z, dtype=Gzz.dtype)
 
@@ -189,16 +190,19 @@ OBJECTIVES = {
 
 @partial(jax.jit, static_argnames=("objective", "optimizer", "full_set_size",
                                    "st_samples", "slq_samples",
-                                   "slq_num_matvecs"))
+                                   "slq_num_matvecs", "example_block"))
 def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   objective: str = "gram",
                   optimizer: optax.GradientTransformation,
                   full_set_size: Optional[int] = None,
                   st_samples: int = 256, slq_samples: int = 2,
-                  slq_num_matvecs: Optional[int] = None):
+                  slq_num_matvecs: Optional[int] = None,
+                  example_block: Optional[int] = None):
     """One jitted gradient step on Z (parity: ``optimize_step``,
     ``/root/reference/src/train_inducing.py:199-232``)."""
     kwargs = dict(full_set_size=full_set_size)
+    if objective == "gram":
+        kwargs.update(example_block=example_block)
     if objective == "stochastic":
         kwargs.update(st_samples=st_samples, slq_samples=slq_samples,
                       slq_num_matvecs=slq_num_matvecs)
@@ -216,6 +220,7 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                           objective: str = "gram", rng: Optional[jax.Array] = None,
                           st_samples: int = 256, slq_samples: int = 2,
                           slq_num_matvecs: Optional[int] = None,
+                          example_block: Optional[int] = None,
                           callback: Optional[Callable] = None,
                           verbose: bool = True) -> jnp.ndarray:
     """Optimize Z against minibatches (parity: ``train_inducing_points``,
@@ -233,7 +238,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
             Z, x_batch, state, alpha, opt_state, sub,
             objective=objective, optimizer=optimizer,
             full_set_size=full_set_size, st_samples=st_samples,
-            slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs)
+            slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
+            example_block=example_block)
         if verbose and (step % 10 == 0 or step == num_steps - 1):
             print(f"[inducing {step:4d}] loss={float(loss):.4f}")
         if callback is not None:

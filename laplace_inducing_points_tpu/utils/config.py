@@ -25,6 +25,7 @@ IP_DEFAULTS = {
     "slq_samples": 2,
     "slq_num_matvecs": None,
     "objective": "gram",        # framework default: exact Gram objective
+    "example_block": None,      # chunk example axis of W-row builds (memory cap)
 }
 
 MAP_DEFAULTS = {

@@ -153,3 +153,12 @@ def test_ggn_psd():
     G = ops.make_ggn_operator(state, x[:8]).dense()
     evals = jnp.linalg.eigvalsh(0.5 * (G + G.T))
     assert jnp.all(evals > -1e-5)
+
+
+def test_dense_wt_example_block():
+    """Chunked Wᵀ materialization matches the single-sweep path."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:7]
+    full = ops.dense_wt(state, Z)
+    blocked = ops.dense_wt(state, Z, example_block=3)   # ragged tail
+    assert jnp.allclose(full, blocked, rtol=1e-5, atol=1e-5)

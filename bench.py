@@ -19,8 +19,34 @@ experiment shape from the reference's scale configs.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
+
+# Watchdog: the tunneled TPU can be unreachable (single-client grant wedged
+# or remote side down). If the first device contact doesn't complete within
+# the budget, re-exec on local CPU and say so in the metric name — a
+# degraded-but-honest number beats a hung process.
+_TPU_CONTACT_BUDGET_S = 240
+
+
+def _watchdog_reexec_cpu():
+    if os.environ.get("_LIPT_BENCH_CPU") == "1":
+        return
+    def fire():
+        sys.stderr.write("[bench] TPU unreachable within budget — "
+                         "re-running on local CPU\n")
+        sys.stderr.flush()
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
+        env["_LIPT_BENCH_CPU"] = "1"
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    t = threading.Timer(_TPU_CONTACT_BUDGET_S, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 import jax
 import jax.numpy as jnp
@@ -99,6 +125,7 @@ def time_sweep(fn, probes, reps=REPS):
 
 
 def main():
+    watchdog = _watchdog_reexec_cpu()
     log(f"[bench] devices: {jax.devices()}")
     state, x, probes, D = build()
     log(f"[bench] LeNet5 D={D}, M={M} examples, P={P} probes")
@@ -107,6 +134,8 @@ def main():
     slow = reference_style_sweep_fn(state, x)
 
     t_fast, out_fast = time_sweep(fast, probes)
+    if watchdog is not None:
+        watchdog.cancel()              # device contact + compile succeeded
     log(f"[bench] batched sweep: {t_fast * 1e3:.2f} ms "
         f"({P / t_fast:.1f} MVP/s)")
 
@@ -127,8 +156,10 @@ def main():
 
     value = P / t_fast
     vs_baseline = t_slow / t_fast
+    suffix = "_cpu_fallback" if os.environ.get("_LIPT_BENCH_CPU") == "1" \
+        else ""
     print(json.dumps({
-        "metric": "ggn_mvps_per_sec_lenet5_m128",
+        "metric": "ggn_mvps_per_sec_lenet5_m128" + suffix,
         "value": round(value, 2),
         "unit": "GGN-MVP/s",
         "vs_baseline": round(vs_baseline, 2),

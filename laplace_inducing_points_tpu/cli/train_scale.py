@@ -45,6 +45,11 @@ def build_parser():
     p.add_argument("--continue", dest="resume", action="store_true",
                    help="resume MAP training from the latest checkpoint")
     p.add_argument("--alpha_ip", type=float, default=None)
+    p.add_argument("--alpha_mode", default="grid",
+                   choices=["grid", "evidence"],
+                   help="grid = validation-NLL grid search; evidence = "
+                        "interleave MAP with gradient ascent on the log "
+                        "marginal likelihood (train_map_then_alpha)")
     p.add_argument("--objective", default=None,
                    choices=["dense", "gram", "stochastic"])
     p.add_argument("--ckpt_map", default="checkpoint/map/")
@@ -95,10 +100,21 @@ def main(argv=None):
         except FileNotFoundError:
             print("[resume] no checkpoint found — starting fresh")
 
+    evidence_alpha = None
     if args.mode in ("train_map", "full_pipeline"):
-        state = train_map(state, train_loader, test_loader,
-                          num_epochs=map_cfg["epochs"], alpha=alpha,
-                          sharding=sharding)
+        if args.alpha_mode == "evidence":
+            from laplace_inducing_points_tpu.training.alpha import (
+                train_map_then_alpha)
+            state, evidence_alpha = train_map_then_alpha(
+                state, train_loader, test_loader,
+                num_epochs=map_cfg["epochs"], alpha0=alpha,
+                burnin=max(map_cfg["epochs"] // 4, 1),
+                full_set_size=full_set_size)
+            print(f"[alpha] evidence-optimized alpha = {evidence_alpha:.5f}")
+        else:
+            state = train_map(state, train_loader, test_loader,
+                              num_epochs=map_cfg["epochs"], alpha=alpha,
+                              sharding=sharding)
         save_train_state(state, map_dir, step=map_cfg["epochs"])
         print("[DONE] MAP training.")
         if args.mode == "train_map":
@@ -114,7 +130,7 @@ def main(argv=None):
     ip_loader, _, _ = get_dataloaders(args.dataset, ip_cfg["batch_size"],
                                       aug=False, root=args.data_dir)
 
-    alpha_ip = args.alpha_ip
+    alpha_ip = args.alpha_ip if args.alpha_ip is not None else evidence_alpha
     if alpha_ip is None:
         alpha_ip = grid_search_alpha(
             state, z_init, val_loader, full_set_size=full_set_size,

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from laplace_inducing_points_tpu.core import operators as ops
-from laplace_inducing_points_tpu.inference import sample as smp
+import laplace_inducing_points_tpu.inference.sample as smp
 
 from fixtures import XS_1D, classifier_state, mlp_regressor_state
 

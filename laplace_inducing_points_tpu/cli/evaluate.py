@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 
@@ -55,6 +56,8 @@ def build_parser():
     p.add_argument("--scalable", action="store_true")
     p.add_argument("--alpha_ip", type=float, default=None)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--out_json", default=None,
+                   help="append per-repetition metrics as JSON lines")
     p.add_argument("--data_dir", default="data/")
     return p
 
@@ -107,6 +110,10 @@ def main(argv=None):
               f"\nBrier      : {bri:8.5f}"
               f"\nECE (15bin): {cal:8.5f}"
               f"\nTime       : {dt:6.1f} s")
+        record = {"dataset": args.dataset, "alpha": alpha, "iter": i,
+                  "nll": round(nll, 5), "acc": round(acc, 5),
+                  "brier": round(bri, 5), "ece": round(cal, 5),
+                  "wallclock_s": round(dt, 2)}
         if ood_loader is not None:
             rng = jax.random.fold_in(rng, 7)
             auroc = auroc_ood(state, probs, ood_loader, Z, alpha=alpha,
@@ -114,6 +121,11 @@ def main(argv=None):
                               num_mc_samples=ip_cfg["mc_samples"], rng=rng,
                               scalable=args.scalable)
             print(f"OOD AUROC  : {auroc * 100:8.3f} %")
+            record["ood_auroc"] = round(auroc, 5)
+        if args.out_json:
+            os.makedirs(os.path.dirname(args.out_json) or ".", exist_ok=True)
+            with open(args.out_json, "a") as f:
+                f.write(json.dumps(record) + "\n")
 
 
 if __name__ == "__main__":

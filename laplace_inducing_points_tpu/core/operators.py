@@ -304,6 +304,27 @@ def dense_wt_from_lin(lin: Linearization) -> jnp.ndarray:
     return jnp.moveaxis(rows, 0, -1).reshape(-1, D)           # (M·K, D)
 
 
+def ggn_matmat_materialized(state: Any, Z: jnp.ndarray, V: jnp.ndarray,
+                            full_set_size: Optional[int] = None,
+                            R: Optional[jnp.ndarray] = None,
+                            example_block: Optional[int] = None
+                            ) -> jnp.ndarray:
+    """GGN probe sweep through the materialized row factor: two matmuls.
+
+    ``GGN V = c² · (V Rᵀ) R`` with ``R = LᵀJ`` rows. Building ``R`` costs
+    ``M·K`` single-example backward passes ONCE; each probe afterwards is
+    pure MXU matmul work — for realistic probe counts (Hutch++ uses
+    hundreds) this beats the per-probe jvp/vjp sweep by an order of
+    magnitude. Use when ``M·K·D`` fits memory; pass a prebuilt ``R`` to
+    amortize across sweeps.
+    """
+    M = Z.shape[0]
+    N = full_set_size or M
+    if R is None:
+        R = dense_wt(state, Z, example_block=example_block)    # (M·K, D)
+    return (N / M) * pdot(pdot(V, R.T), R)
+
+
 def make_w_factor(state: Any, Z: jnp.ndarray,
                   full_set_size: Optional[int] = None,
                   lin: Optional[Linearization] = None) -> WFactor:

@@ -31,6 +31,11 @@ def slq_logdet_sym(matvec: Callable[[jnp.ndarray], jnp.ndarray],
     def single(v):
         tri = lz.lanczos_sym(matvec, v, num_matvecs)
         T = lz.tridiag_dense(tri.alphas, tri.betas)
+        # graded jitter: see slq_logdet_product — eigh VJP NaNs on exactly
+        # repeated eigenvalues at Krylov breakdown
+        k = T.shape[0]
+        grade = 1e-5 * jnp.arange(1, k + 1, dtype=T.dtype)
+        T = T + jnp.diag(grade * (jnp.abs(jnp.diag(T)) + 1e-12))
         logT = lz.funm_sym_dense(jnp.log, T, clip_min=clip_min)
         return jnp.sum(v * v) * logT[0, 0]
 
@@ -55,6 +60,14 @@ def slq_logdet_product(matvec: Callable[[jnp.ndarray], jnp.ndarray],
     def single(v):
         bi = lz.golub_kahan_bidiag(matvec, v, num_matvecs, t_matvec=t_matvec)
         B = lz.bidiag_dense(bi.alphas, bi.betas)
+        # Graded diagonal jitter breaks exact singular-value degeneracy.
+        # When num_matvecs exceeds the Krylov rank (common: rank(Gzz) ≤
+        # M(K−1) for CE factors), breakdown clusters σ at √α exactly and
+        # the SVD VJP's 1/(σᵢ²−σⱼ²) terms produce NaN gradients — this
+        # poisoned inducing training within a few steps before the guard.
+        k = B.shape[0]
+        grade = 1e-5 * jnp.arange(1, k + 1, dtype=B.dtype)
+        B = B + jnp.diag(grade * (jnp.diag(B) + 1e-12))
         _, svals, vt = jnp.linalg.svd(B)
         # e₁ᵀ V log(Σ²) Vᵀ e₁  — weights are the first row of V = vtᵀ.
         w1 = vt[:, 0]

@@ -222,6 +222,9 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                           slq_num_matvecs: Optional[int] = None,
                           example_block: Optional[int] = None,
                           callback: Optional[Callable] = None,
+                          checkpoint_dir: Optional[str] = None,
+                          checkpoint_name: str = "ind",
+                          checkpoint_every: int = 100,
                           verbose: bool = True) -> jnp.ndarray:
     """Optimize Z against minibatches (parity: ``train_inducing_points``,
     ``/root/reference/src/train_inducing.py:235-324``; the reference's
@@ -244,4 +247,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
             print(f"[inducing {step:4d}] loss={float(loss):.4f}")
         if callback is not None:
             callback(step, Z, float(loss))
+        if checkpoint_dir and (step + 1) % checkpoint_every == 0 \
+                and step + 1 < num_steps:
+            from laplace_inducing_points_tpu.utils.checkpoint import save_array
+            save_array(Z, checkpoint_dir, checkpoint_name, step + 1)
     return Z

@@ -99,7 +99,9 @@ def eval_regression(state: TrainState, batch):
 def train_map(state: TrainState, train_loader: Iterable,
               test_loader: Iterable, *, num_epochs: int, alpha: float,
               sharding: Optional[jax.sharding.Sharding] = None,
-              eval_every: int = 1, verbose: bool = True) -> TrainState:
+              eval_every: int = 1, verbose: bool = True,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 50) -> TrainState:
     """Epoch loop (parity: ``train_map``,
     ``/root/reference/src/train_map.py:111-144``).
 
@@ -124,6 +126,14 @@ def train_map(state: TrainState, train_loader: Iterable,
             if state.model_kind == "classifier":
                 msg += f" ACC={tot_acc / nb:.4f}"
             print(msg)
+
+        # periodic crash-resume checkpoints (the reference only supports
+        # phase-level restarts, SURVEY.md §5.3/5.4)
+        if checkpoint_dir and (epoch + 1) % checkpoint_every == 0 \
+                and epoch + 1 < num_epochs:
+            from laplace_inducing_points_tpu.utils.checkpoint import (
+                save_train_state)
+            save_train_state(state, checkpoint_dir, step=epoch + 1)
     return state
 
 

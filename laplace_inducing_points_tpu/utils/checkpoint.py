@@ -15,24 +15,48 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _mgr(ckpt_dir: str) -> ocp.CheckpointManager:
-    return ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+# open managers for async saves, keyed by directory — kept alive so the
+# background write can overlap the next training epochs
+_async_managers: dict = {}
 
 
-def save_train_state(state: Any, ckpt_dir: str, step: int) -> None:
-    """Save params/batch_stats/opt_state/step under ``ckpt_dir/<step>``."""
+def save_train_state(state: Any, ckpt_dir: str, step: int,
+                     wait: bool = True) -> None:
+    """Save params/batch_stats/opt_state/step under ``ckpt_dir/<step>``.
+
+    ``wait=False`` saves asynchronously (orbax background thread); call
+    ``finalize_checkpoints()`` before process exit or reading the ckpt.
+    """
     path = os.path.abspath(ckpt_dir)
     os.makedirs(path, exist_ok=True)
-    with ocp.CheckpointManager(path) as mgr:
-        payload = {
-            "params": state.params,
-            "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
+    payload = {
+        "params": state.params,
+        "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if wait:
+        with ocp.CheckpointManager(path) as mgr:
+            mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+            mgr.wait_until_finished()
+    else:
+        mgr = _async_managers.get(path)
+        if mgr is None:
+            mgr = ocp.CheckpointManager(
+                path, options=ocp.CheckpointManagerOptions(
+                    enable_async_checkpointing=True))
+            _async_managers[path] = mgr
         mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+    print(f"[checkpoint] saved train state at step {step} in {path}"
+          + ("" if wait else " (async)"))
+
+
+def finalize_checkpoints() -> None:
+    """Block until all async saves land and release their managers."""
+    for path, mgr in list(_async_managers.items()):
         mgr.wait_until_finished()
-    print(f"[checkpoint] saved train state at step {step} in {path}")
+        mgr.close()
+        del _async_managers[path]
 
 
 def load_train_state(state: Any, ckpt_dir: str,

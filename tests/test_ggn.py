@@ -162,3 +162,17 @@ def test_dense_wt_example_block():
     full = ops.dense_wt(state, Z)
     blocked = ops.dense_wt(state, Z, example_block=3)   # ragged tail
     assert jnp.allclose(full, blocked, rtol=1e-5, atol=1e-5)
+
+
+def test_ggn_matmat_materialized_matches_matrix_free():
+    _, state, (x, _) = classifier_state()
+    Z = x[:8]
+    ggn = ops.make_ggn_operator(state, Z, full_set_size=40)
+    V = jax.random.normal(jax.random.PRNGKey(5), (6, ggn.num_params))
+    expect = ggn.matmat(V)
+    got = ops.ggn_matmat_materialized(state, Z, V, full_set_size=40)
+    assert jnp.allclose(got, expect, rtol=1e-4, atol=1e-4)
+    # prebuilt-R amortized path
+    R = ops.dense_wt(state, Z)
+    got2 = ops.ggn_matmat_materialized(state, Z, V, full_set_size=40, R=R)
+    assert jnp.allclose(got2, expect, rtol=1e-4, atol=1e-4)

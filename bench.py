@@ -170,7 +170,25 @@ def main():
         sys.exit(1)
 
     value = P / t_fast
-    vs_baseline = t_slow / t_fast
+    same_chip_ratio = t_slow / t_fast
+    log(f"[bench] same-chip ratio vs reference-style: {same_chip_ratio:.2f}x")
+
+    # BASELINE.md's target is defined against the reference's CPU wall-clock
+    # ("=10x reference CPU wall-clock on one TPU v5e chip"); the recorded
+    # CPU measurement of the reference-faithful sweep lives in
+    # results/reference_cpu_baseline.json (provenance inside).
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "results", "reference_cpu_baseline.json")
+    vs_baseline = same_chip_ratio
+    try:
+        with open(baseline_path) as f:
+            ref_cpu = json.load(f)["value"]
+        vs_baseline = value / ref_cpu
+        log(f"[bench] vs reference-CPU baseline ({ref_cpu} MVP/s): "
+            f"{vs_baseline:.1f}x")
+    except Exception:
+        log("[bench] no CPU baseline record — reporting same-chip ratio")
+
     suffix = "_cpu_fallback" if os.environ.get("_LIPT_BENCH_CPU") == "1" \
         else ""
     print(json.dumps({

@@ -111,3 +111,18 @@ def test_golub_kahan_orthonormal_right_vectors():
     s_b = jnp.sort(jnp.linalg.svd(B, compute_uv=False))
     s_g = jnp.sort(jnp.linalg.svd(G, compute_uv=False))
     assert jnp.allclose(s_b, s_g, atol=1e-3)
+
+
+def test_slq_product_gradient_finite_past_breakdown():
+    """Regression: num_matvecs beyond the Krylov rank used to NaN gradients
+    (degenerate singular values at breakdown -> SVD VJP 1/(s_i^2 - s_j^2))."""
+    G = jax.random.normal(jax.random.PRNGKey(8), (10, 8)) / 3.0
+    low_rank = G.at[:, 4:].set(0.0)          # rank 4 operator
+    probes = st.rademacher_probes(jax.random.PRNGKey(9), 4, 8)
+
+    def loss(s):
+        Gfun = lambda v: jnp.concatenate([0.3 * v, s * (low_rank @ v)])
+        return slq.slq_logdet_product(Gfun, probes, num_matvecs=8)
+
+    g = jax.grad(loss)(1.0)
+    assert jnp.isfinite(g)

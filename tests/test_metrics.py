@@ -74,3 +74,25 @@ def test_auroc_ood_direction():
     id_probs = np.array([[0.99, 0.01]] * 50)
     ood_probs = np.array([[0.55, 0.45]] * 50)
     assert m.auroc_ood(id_probs, ood_probs) > 0.99
+
+
+def test_mc_gaussian_nll_single_sample_closed_form():
+    """One MC sample => exact Gaussian NLL."""
+    mu = jnp.asarray([[1.0], [2.0]])[None]         # (1, 2, 1)
+    y = jnp.asarray([[1.5], [2.0]])
+    logvar = jnp.log(jnp.asarray(0.25))
+    nll, rmse = m.mc_gaussian_nll(mu, y, logvar)
+    import numpy as _np
+    expect = 0.5 * (_np.log(2 * _np.pi * 0.25) + _np.array([1.0, 0.0])).mean()
+    assert jnp.allclose(nll, expect, atol=1e-5)
+    assert jnp.allclose(rmse, jnp.sqrt(0.125), atol=1e-6)
+
+
+def test_mc_gaussian_nll_mixture_behavior():
+    """Two far-apart samples: predictive is a mixture, NLL ~ -log(0.5 pdf)."""
+    mu = jnp.asarray([[[0.0]], [[10.0]]])          # (2, 1, 1)
+    y = jnp.zeros((1, 1))
+    nll, _ = m.mc_gaussian_nll(mu, y, 0.0)
+    import numpy as _np
+    expect = -_np.log(0.5 / _np.sqrt(2 * _np.pi))
+    assert jnp.allclose(nll, expect, atol=1e-3)

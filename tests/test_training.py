@@ -130,3 +130,29 @@ def test_scale_synthetic_fallback():
     x, y = load_arrays("mnist", train=False, root="/nonexistent_dir")
     assert x.shape[1:] == (28, 28, 1) and x.dtype == np.float32
     assert y.min() >= 0 and y.max() <= 9
+
+
+def test_eval_dataset_regression_path():
+    """Harness dispatches Gaussian MC-NLL for regressors (no NaN/softmax)."""
+    import numpy as np
+    from laplace_inducing_points_tpu.evaluation.harness import eval_dataset
+
+    _, state = mlp_regressor_state()
+    ys = np.asarray(state.apply_fn({"params": state.params}, XS_1D)[0])
+    ds = ArrayDataset(np.asarray(XS_1D), ys)
+    loader = DataLoader(ds, 4, drop_last=False)
+    nll, rmse = eval_dataset(state, loader, XS_1D, alpha=0.5,
+                             full_set_size=8, num_mc_samples=16,
+                             rng=jax.random.PRNGKey(0))
+    assert np.isfinite(nll) and np.isfinite(rmse)
+
+
+def test_profiling_step_timer():
+    from laplace_inducing_points_tpu.utils.profiling import StepTimer
+
+    t = StepTimer("unit")
+    for _ in range(5):
+        with t:
+            pass
+    s = t.summary()
+    assert s["steps"] == 5 and s["mean_s"] >= 0 and s["ema_s"] is not None

@@ -63,6 +63,8 @@ def build_parser():
 
 
 def main(argv=None):
+    from laplace_inducing_points_tpu.utils import setup_compile_cache
+    setup_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = load_experiment_config(args.config)
     model_cfg = cfg["model"]

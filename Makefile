@@ -49,3 +49,7 @@ native: native/liblip_data.so
 
 native/liblip_data.so: native/lip_data.cpp
 	g++ -O3 -march=native -shared -fPIC -o $@ $<
+
+toy-spiral:
+	$(CPU_ENV) $(PY) -m laplace_inducing_points_tpu.cli.main_toy full_pipeline \
+		--dataset spiral --config configs/toy/classifier_spiral.yml --plot_Z --plot_X

@@ -53,7 +53,6 @@ import jax.numpy as jnp
 import optax
 
 from laplace_inducing_points_tpu.core import operators as ops
-from laplace_inducing_points_tpu.core import loss_hessians as lh
 from laplace_inducing_points_tpu.core.params import flatten_nn_params
 from laplace_inducing_points_tpu.models.scale import LeNet5
 from laplace_inducing_points_tpu.models.state import create_train_state

@@ -19,7 +19,6 @@ explicit ``clip_min`` argument.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

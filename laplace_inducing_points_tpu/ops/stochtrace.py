@@ -18,7 +18,6 @@ All estimators take ``matmat`` acting on row-stacked probes ``(P, D)``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -61,7 +61,13 @@ def finalize_checkpoints() -> None:
 
 def load_train_state(state: Any, ckpt_dir: str,
                      step: Optional[int] = None) -> Any:
-    """Restore into the template ``state`` (latest step by default)."""
+    """Restore into the template ``state`` (latest step by default).
+
+    If the on-disk optimizer-state tree doesn't match the template's (e.g.
+    trained with a schedule, restored for eval with a plain optimizer), the
+    restore falls back to params/batch_stats/step only — consumers that
+    never train again don't need the optimizer state.
+    """
     path = os.path.abspath(ckpt_dir)
     with ocp.CheckpointManager(path) as mgr:
         step = step if step is not None else mgr.latest_step()
@@ -73,11 +79,20 @@ def load_train_state(state: Any, ckpt_dir: str,
             "opt_state": state.opt_state,
             "step": state.step,
         }
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = mgr.restore(step,
+                                   args=ocp.args.StandardRestore(template))
+            opt_state = restored["opt_state"]
+        except ValueError:
+            # optimizer trees differ: template-free read, keep model state
+            restored = mgr.restore(step)
+            opt_state = state.opt_state
+            print("[checkpoint] optimizer-state tree mismatch — restored "
+                  "params/batch_stats/step only")
     print(f"[checkpoint] restored train state from {path} step {step}")
     new_state = state.replace(
         params=restored["params"],
-        opt_state=restored["opt_state"],
+        opt_state=opt_state,
         step=restored["step"],
     )
     if restored["batch_stats"]:

@@ -46,3 +46,20 @@ def test_array_roundtrip(tmp_path):
 def test_load_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         ckpt.load_array(str(tmp_path), "nope", 1)
+
+
+def test_restore_with_different_optimizer(tmp_path):
+    """Eval-time restore must tolerate a mismatched opt_state tree."""
+    x, y = blob_data(16, seed=6)
+    model = SimpleClassifier(num_hidden=4, num_layers=1, num_classes=2)
+    sched = optax.adam(optax.cosine_decay_schedule(1e-2, 100))
+    state = create_train_state(model, jax.random.PRNGKey(0), x[:1], sched,
+                               "classifier")
+    ckpt.save_train_state(state, str(tmp_path / "ck"), step=1)
+
+    plain = create_train_state(model, jax.random.PRNGKey(1), x[:1],
+                               optax.adam(1e-3), "classifier")
+    restored = ckpt.load_train_state(plain, str(tmp_path / "ck"))
+    p0 = jax.flatten_util.ravel_pytree(state.params)[0]
+    p1 = jax.flatten_util.ravel_pytree(restored.params)[0]
+    assert jnp.allclose(p0, p1)

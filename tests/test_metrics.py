@@ -96,3 +96,18 @@ def test_mc_gaussian_nll_mixture_behavior():
     import numpy as _np
     expect = -_np.log(0.5 / _np.sqrt(2 * _np.pi))
     assert jnp.allclose(nll, expect, atol=1e-3)
+
+
+def test_exp_plots_renders(tmp_path):
+    import json
+    from laplace_inducing_points_tpu.viz import exp_plots
+
+    rec = {"dataset": "banana", "alpha": 0.05, "iter": 0, "nll": 0.17,
+           "acc": 0.98, "brier": 0.08, "ece": 0.15, "wallclock_s": 1.0,
+           "ood_auroc": 0.92}
+    p = tmp_path / "r.jsonl"
+    p.write_text(json.dumps(rec) + "\n")
+    out = exp_plots.plot_records(exp_plots.load_records([str(p)]),
+                                 str(tmp_path / "out.png"))
+    import os
+    assert os.path.exists(out)

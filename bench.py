@@ -134,6 +134,8 @@ def time_sweep(fn, probes, reps=REPS):
 
 
 def main():
+    from laplace_inducing_points_tpu.utils import setup_compile_cache
+    setup_compile_cache()
     watchdog = _watchdog_reexec_cpu()
     log(f"[bench] devices: {jax.devices()}")
     state, x, probes, D = build()

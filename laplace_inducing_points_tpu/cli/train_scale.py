@@ -28,8 +28,7 @@ from laplace_inducing_points_tpu.parallel.mesh import batch_sharding, make_mesh
 from laplace_inducing_points_tpu.training.grid_search import grid_search_alpha
 from laplace_inducing_points_tpu.training.inducing import train_inducing_points
 from laplace_inducing_points_tpu.training.map import cosine_lr, train_map
-from laplace_inducing_points_tpu.utils.checkpoint import (load_array,
-                                                          load_train_state,
+from laplace_inducing_points_tpu.utils.checkpoint import (load_train_state,
                                                           save_array,
                                                           save_train_state)
 from laplace_inducing_points_tpu.utils.config import load_experiment_config

@@ -17,8 +17,6 @@ from __future__ import annotations
 import gzip
 import os
 import struct
-from typing import Optional, Tuple
-
 import numpy as np
 
 from laplace_inducing_points_tpu.data import native

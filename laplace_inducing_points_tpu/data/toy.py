@@ -9,7 +9,7 @@ metrics are comparable. Implemented fresh on ``jax.random``.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,7 @@ Parity: ``eval_dataset`` / ``eval_dataset_extended`` / ``auroc_ood``
 
 from __future__ import annotations
 
-import time
-from typing import Any, Iterable, Optional, Tuple
+from typing import Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ signature so every model in the zoo is interchangeable downstream.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 
 class SimpleRegressor(nn.Module):

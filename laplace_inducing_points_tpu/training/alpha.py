@@ -8,7 +8,7 @@ MAP/α training loop. The logdet runs through the small Gram (one MXU matmul
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Optional, Tuple
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ recurrences, Cholesky — as required by ``optimize_step``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Iterable, Optional, Tuple
+from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ inserts the gradient all-reduce; there is no pmap-style per-device Python.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Iterable, Optional, Tuple
+from typing import Iterable, Optional
 
 import jax
 import jax.numpy as jnp

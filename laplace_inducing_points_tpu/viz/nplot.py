@@ -9,7 +9,7 @@ non-interactive Agg backend so it runs headless.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

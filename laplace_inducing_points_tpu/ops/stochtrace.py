@@ -65,6 +65,10 @@ def hutchpp(matmat: MatMat, probes: jnp.ndarray, *,
         s1 = total // 2
     if s2 is None:
         s2 = total - s1
+    if s1 > probes.shape[1]:
+        # QR differentiation requires tall factors; a wider range-finder is
+        # pointless anyway (s1 >= D already captures A exactly)
+        s1 = probes.shape[1]
     S, G = probes[:s1], probes[s1:s1 + s2]
 
     ap = matmat if not remat else jax.remat(matmat)

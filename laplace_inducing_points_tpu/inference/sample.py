@@ -61,7 +61,8 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
                      full_set_size: Optional[int] = None,
                      rank_tol: float = 1e-7,
                      gram_block: Optional[int] = None,
-                     materialize_w: bool = True
+                     materialize_w: bool = True,
+                     example_block: Optional[int] = None
                      ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``Eps (P, D) ↦ S^{-1/2} Eps`` for ``S = αI + β W Wᵀ``.
 
@@ -75,7 +76,7 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
     inv_sqrt_alpha = 1.0 / jnp.sqrt(alpha)
 
     if materialize_w:
-        R = ops.dense_wt(state, Z)                     # (d, D), scale 1
+        R = ops.dense_wt(state, Z, example_block=example_block)  # (d, D)
         gram = syrk(R)
         core = inv_matsqrt_gram(gram, alpha, beta, rank_tol)   # (d, d)
 

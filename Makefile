@@ -53,3 +53,11 @@ native/liblip_data.so: native/lip_data.cpp
 toy-spiral:
 	$(CPU_ENV) $(PY) -m laplace_inducing_points_tpu.cli.main_toy full_pipeline \
 		--dataset spiral --config configs/toy/classifier_spiral.yml --plot_Z --plot_X
+
+# ---- remote-attach debugging (parity: reference Makefile debug_run) --------
+# requires debugpy; attach your editor to localhost:5678
+debug-toy:
+	$(CPU_ENV) nohup $(PY) -m debugpy --listen 5678 --wait-for-client \
+		-m laplace_inducing_points_tpu.cli.main_toy full_pipeline \
+		--dataset banana --config configs/toy/classifier_banana.yml \
+		> debug.log 2>&1 & echo "debugpy waiting on :5678"

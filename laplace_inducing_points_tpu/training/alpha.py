@@ -78,7 +78,8 @@ def train_map_then_alpha(state, train_loader: Iterable, test_loader: Iterable,
     last_batch = None
     for epoch in range(num_epochs):
         for batch in device_iter(train_loader):
-            state, _ = map_step(state, batch, float(jnp.exp(log_alpha)))
+            # traced scalar: alpha updates reuse the same compiled step
+            state, _ = map_step(state, batch, jnp.exp(log_alpha))
             last_batch = batch
 
         if epoch >= burnin and (epoch + 1) % alpha_every == 0:

@@ -62,10 +62,15 @@ def _loss(state: TrainState, params, batch_stats, batch, prior_precision):
     return nll + nlp, new_bs
 
 
-@partial(jax.jit, static_argnames=("prior_precision",))
-def map_step(state: TrainState, batch, prior_precision: float):
+@jax.jit
+def map_step(state: TrainState, batch, prior_precision):
     """One MAP optimization step (parity: ``_map_step``,
-    ``/root/reference/src/train_map.py:51-86``)."""
+    ``/root/reference/src/train_map.py:51-86``).
+
+    ``prior_precision`` is a *traced* scalar (it only enters arithmetically
+    via :func:`l2_prior`), so alpha updates in evidence mode re-use the same
+    compiled step instead of forcing a recompile per alpha value.
+    """
     (loss, new_bs), grads = jax.value_and_grad(_loss, argnums=1, has_aux=True)(
         state, state.params, state.batch_stats, batch, prior_precision)
     new_state = state.apply_gradients(grads=grads).replace(batch_stats=new_bs)

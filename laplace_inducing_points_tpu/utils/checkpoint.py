@@ -20,6 +20,15 @@ import orbax.checkpoint as ocp
 _async_managers: dict = {}
 
 
+def _overwrite_save(mgr: "ocp.CheckpointManager", step: int, payload) -> None:
+    """Save ``step``, replacing an existing checkpoint for it (re-running a
+    phase must not crash with StepAlreadyExistsError — ``force=True`` only
+    bypasses the save-interval policy, not existing steps)."""
+    if step in (mgr.all_steps() or []):
+        mgr.delete(step)
+    mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+
+
 def save_train_state(state: Any, ckpt_dir: str, step: int,
                      wait: bool = True) -> None:
     """Save params/batch_stats/opt_state/step under ``ckpt_dir/<step>``.
@@ -37,7 +46,7 @@ def save_train_state(state: Any, ckpt_dir: str, step: int,
     }
     if wait:
         with ocp.CheckpointManager(path) as mgr:
-            mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+            _overwrite_save(mgr, step, payload)
             mgr.wait_until_finished()
     else:
         mgr = _async_managers.get(path)
@@ -46,7 +55,7 @@ def save_train_state(state: Any, ckpt_dir: str, step: int,
                 path, options=ocp.CheckpointManagerOptions(
                     enable_async_checkpointing=True))
             _async_managers[path] = mgr
-        mgr.save(step, args=ocp.args.StandardSave(payload), force=True)
+        _overwrite_save(mgr, step, payload)
     print(f"[checkpoint] saved train state at step {step} in {path}"
           + ("" if wait else " (async)"))
 

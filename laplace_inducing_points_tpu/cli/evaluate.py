@@ -28,18 +28,24 @@ from laplace_inducing_points_tpu.data.toy import (ensure_toy_npz, load_dataset,
                                                   train_test_val_split)
 from laplace_inducing_points_tpu.evaluation.harness import (auroc_ood,
                                                             eval_dataset_extended)
+from laplace_inducing_points_tpu.inference.lla import ScalableLLAPredictor
 from laplace_inducing_points_tpu.models.registry import get_model
 from laplace_inducing_points_tpu.models.state import create_train_state
 from laplace_inducing_points_tpu.utils.checkpoint import (load_array,
+                                                          load_run_meta,
                                                           load_train_state)
 from laplace_inducing_points_tpu.utils.config import load_experiment_config
 
 TOY_DATASETS = ("sine", "xor", "spiral", "ring", "banana")
 
 
-def _loaders(name: str, batch_size: int, data_dir: str):
+def _loaders(name: str, batch_size: int, data_dir: str, data_cfg=None):
     if name in TOY_DATASETS:
-        x, y = load_dataset(ensure_toy_npz(name, data_dir=data_dir))
+        data_cfg = data_cfg or {}
+        x, y = load_dataset(ensure_toy_npz(
+            name, data_dir=data_dir, n=data_cfg.get("n", 512),
+            noise=data_cfg.get("noise", 0.05),
+            seed=data_cfg.get("seed", 42)))
         tr, te, va = train_test_val_split(x, y)
         return make_dataloaders(ArrayDataset(*tr), ArrayDataset(*te),
                                 ArrayDataset(*va), batch_size)
@@ -55,6 +61,11 @@ def build_parser():
     p.add_argument("--ckpt_induc", default="checkpoint/ind/")
     p.add_argument("--scalable", action="store_true")
     p.add_argument("--alpha_ip", type=float, default=None)
+    p.add_argument("--range_clip", type=float, default=1.0,
+                   help="clip range-space eigenvalues of (aI+bG) from below "
+                        "inside the posterior inverse sqrt; 1.0 reproduces "
+                        "the reference's monkeypatched sampler "
+                        "(matfree_monkeypatch.py:20); <=0 disables (exact)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--out_json", default=None,
                    help="append per-repetition metrics as JSON lines")
@@ -70,22 +81,29 @@ def main(argv=None):
     model_cfg = cfg["model"]
     opt_cfg = cfg["optimization"]
     ip_cfg = opt_cfg["ip"]
-    alpha = args.alpha_ip if args.alpha_ip is not None else opt_cfg["alpha"]
+    # alpha precedence: CLI flag > pipeline-recorded (grid-searched) alpha
+    # > config — so evaluation reproduces the training pipeline's operating
+    # point with NO hand-picked value
+    meta = load_run_meta(args.ckpt_induc, f"ind_{args.dataset}")
+    if args.alpha_ip is not None:
+        alpha, alpha_src = args.alpha_ip, "cli"
+    elif meta and "alpha_ip" in meta:
+        alpha, alpha_src = float(meta["alpha_ip"]), "pipeline meta"
+    else:
+        alpha, alpha_src = opt_cfg["alpha"], "config"
     full_set_size = opt_cfg["full_set_size"]
-    print(f"alpha={alpha}")
+    print(f"alpha={alpha} ({alpha_src})")
 
     train_loader, test_loader, _ = _loaders(
-        args.dataset, opt_cfg["map"]["batch_size"], args.data_dir)
+        args.dataset, opt_cfg["map"]["batch_size"], args.data_dir,
+        data_cfg=cfg.get("data"))
     ood_loader = None
     if args.ood_dataset:
-        if args.ood_dataset in TOY_DATASETS:
-            ood_loader, _, _ = _loaders(args.ood_dataset,
-                                        opt_cfg["map"]["batch_size"],
-                                        args.data_dir)
-        else:
-            _, ood_loader, _ = _loaders(args.ood_dataset,
-                                        opt_cfg["map"]["batch_size"],
-                                        args.data_dir)
+        # test split for ALL dataset kinds (toy included) — a consistent
+        # OOD evaluation protocol
+        _, ood_loader, _ = _loaders(args.ood_dataset,
+                                    opt_cfg["map"]["batch_size"],
+                                    args.data_dir)
 
     dummy = jnp.asarray(next(iter(train_loader))[0][:1], dtype=jnp.float32)
     full_set_size = full_set_size or len(train_loader.dataset)
@@ -98,30 +116,56 @@ def main(argv=None):
         state, os.path.join(args.ckpt_map, f"map_{args.dataset}"))
     Z = load_array(args.ckpt_induc, f"ind_{args.dataset}", ip_cfg["epochs"])
 
+    # amortize the posterior factor across repetitions AND the OOD pass —
+    # it depends only on (state, Z, alpha-free algebra)
+    predictor = None
+    example_block = ip_cfg.get("example_block")
+    range_clip = args.range_clip if args.range_clip > 0 else None
+    if args.scalable:
+        t0 = time.time()
+        predictor = ScalableLLAPredictor(state, Z,
+                                         full_set_size=full_set_size,
+                                         example_block=example_block,
+                                         range_clip_min=range_clip)
+        jax.block_until_ready(predictor.lam)
+        print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")
+
     rng = jax.random.PRNGKey(155858)
     for i in range(args.iters):
         rng = jax.random.fold_in(rng, i)
         t0 = time.time()
-        nll, acc, bri, cal, probs, labels = eval_dataset_extended(
+        rec = eval_dataset_extended(
             state, test_loader, Z, alpha=alpha, full_set_size=full_set_size,
             num_mc_samples=ip_cfg["mc_samples"], rng=rng,
-            scalable=args.scalable)
+            scalable=args.scalable, predictor=predictor)
         dt = time.time() - t0
-        print(f"\nTest NLL   : {nll:8.5f}"
-              f"\nTest Acc   : {acc * 100:8.3f} %"
-              f"\nBrier      : {bri:8.5f}"
-              f"\nECE (15bin): {cal:8.5f}"
-              f"\nTime       : {dt:6.1f} s")
-        record = {"dataset": args.dataset, "alpha": alpha, "iter": i,
-                  "nll": round(nll, 5), "acc": round(acc, 5),
-                  "brier": round(bri, 5), "ece": round(cal, 5),
-                  "wallclock_s": round(dt, 2)}
-        if ood_loader is not None:
+        if "acc" in rec:
+            print(f"\nTest NLL   : {rec['nll']:8.5f}"
+                  f"\nTest Acc   : {rec['acc'] * 100:8.3f} %"
+                  f"\nBrier      : {rec['brier']:8.5f}"
+                  f"\nECE (15bin): {rec['ece']:8.5f}"
+                  f"\nTime       : {dt:6.1f} s")
+            record = {"dataset": args.dataset, "alpha": alpha, "iter": i,
+                      "nll": round(rec["nll"], 5), "acc": round(rec["acc"], 5),
+                      "brier": round(rec["brier"], 5),
+                      "ece": round(rec["ece"], 5),
+                      "wallclock_s": round(dt, 2)}
+        else:
+            print(f"\nTest NLL   : {rec['nll']:8.5f}"
+                  f"\nTest RMSE  : {rec['rmse']:8.5f}"
+                  f"\nPICP (90%) : {rec['picp90'] * 100:8.3f} %"
+                  f"\nTime       : {dt:6.1f} s")
+            record = {"dataset": args.dataset, "alpha": alpha, "iter": i,
+                      "nll": round(rec["nll"], 5),
+                      "rmse": round(rec["rmse"], 5),
+                      "picp90": round(rec["picp90"], 5),
+                      "wallclock_s": round(dt, 2)}
+        if ood_loader is not None and "probs" in rec:
             rng = jax.random.fold_in(rng, 7)
-            auroc = auroc_ood(state, probs, ood_loader, Z, alpha=alpha,
+            auroc = auroc_ood(state, rec["probs"], ood_loader, Z, alpha=alpha,
                               full_set_size=full_set_size,
                               num_mc_samples=ip_cfg["mc_samples"], rng=rng,
-                              scalable=args.scalable)
+                              scalable=args.scalable, predictor=predictor)
             print(f"OOD AUROC  : {auroc * 100:8.3f} %")
             record["ood_auroc"] = round(auroc, 5)
         if args.out_json:

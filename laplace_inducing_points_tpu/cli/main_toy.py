@@ -33,6 +33,7 @@ from laplace_inducing_points_tpu.training.map import train_map
 from laplace_inducing_points_tpu.utils.checkpoint import (load_array,
                                                           load_train_state,
                                                           save_array,
+                                                          save_run_meta,
                                                           save_train_state)
 from laplace_inducing_points_tpu.utils.config import load_experiment_config
 from laplace_inducing_points_tpu.viz import nplot
@@ -55,6 +56,17 @@ def build_parser():
                    help="override the inducing objective")
     p.add_argument("--num_mc_samples_lla", type=int, default=1000)
     p.add_argument("--alpha_ip", type=float, default=None)
+    p.add_argument("--alpha_mode", default="config",
+                   choices=["config", "grid"],
+                   help="'config' uses optimization.alpha end-to-end (the "
+                        "semantics of the reference's recorded operating "
+                        "points); 'grid' runs the val-NLL grid search — "
+                        "note val-NLL is monotone in alpha on separable toys "
+                        "and drives alpha to the grid edge, collapsing OOD "
+                        "AUROC (see RESULTS.md)")
+    p.add_argument("--range_clip", type=float, default=1.0,
+                   help="reference-parity eigenvalue clip inside the "
+                        "posterior inverse sqrt (<=0 disables)")
     p.add_argument("--plot_Z", action="store_true")
     p.add_argument("--plot_X", action="store_true")
     p.add_argument("--ckpt_map", default="checkpoint/map/")
@@ -130,10 +142,19 @@ def main(argv=None):
         "stochastic" if args.scalable else ip_cfg.get("objective", "gram"))
 
     alpha_ip = args.alpha_ip
+    if alpha_ip is None and args.alpha_mode == "config":
+        alpha_ip = float(alpha)
+        print(f"[alpha] using config alpha end-to-end: {alpha_ip}")
     if alpha_ip is None:
+        # toy grid bounds follow the reference's driver call
+        # (/root/reference/main.py:244-254): alpha in [1e-3, 10], 16 coarse
+        # points — NOT the grid_search default [1e-3, 1e2]
         alpha_ip = grid_search_alpha(
             state, z_init, val_loader, full_set_size=full_set_size,
-            num_mc_samples=ip_cfg["mc_samples"])
+            num_mc_samples=ip_cfg["mc_samples"],
+            log10_min=-3.0, log10_max=1.0, n_coarse=16,
+            range_clip_min=(args.range_clip if args.range_clip > 0
+                            else None))
 
     if args.mode in ("train_inducing", "full_pipeline"):
         cb = None
@@ -152,6 +173,8 @@ def main(argv=None):
             example_block=ip_cfg.get("example_block"),
             callback=cb)
         save_array(Z, args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
+        save_run_meta(args.ckpt_induc, f"ind_{ds_name}",
+                      {"alpha_ip": float(alpha_ip), "objective": objective})
         print("[DONE] Inducing training.")
     else:
         Z = load_array(args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
@@ -166,7 +189,8 @@ def main(argv=None):
                 key=jax.random.PRNGKey(ip_cfg["seed"] % (2**31) + 1),
                 num_mc_samples=args.num_mc_samples_lla,
                 full_set_size=None if args.full else full_set_size,
-                scalable=True, plot_Z=args.plot_Z, plot_X=args.plot_X,
+                scalable=args.scalable, plot_Z=args.plot_Z,
+                plot_X=args.plot_X,
                 save_path=os.path.join(
                     args.fig_dir,
                     f"{ds_name}_{model_kind}_lla_"

@@ -181,8 +181,13 @@ def get_dataloaders(name: str, batch_size: int, *, aug: bool = True,
     else:
         train_loader = DataLoader(ArrayDataset(x_train, y_train), batch_size,
                                   shuffle=True, seed=seed)
-    test_loader = DataLoader(ArrayDataset(x_test, y_test), batch_size)
-    val_loader = DataLoader(ArrayDataset(x_val, y_val), batch_size)
+    # eval loaders keep the tail batch (matching loader.make_dataloaders):
+    # dropping it silently skews metrics and a val split smaller than
+    # batch_size would otherwise yield ZERO batches
+    test_loader = DataLoader(ArrayDataset(x_test, y_test), batch_size,
+                             drop_last=False)
+    val_loader = DataLoader(ArrayDataset(x_val, y_val), batch_size,
+                            drop_last=False)
     print(f"[data] loaded '{name}'  train={n_train} val={n_val} "
           f"test={len(x_test)}")
     return train_loader, test_loader, val_loader

@@ -68,58 +68,61 @@ def spiral_dataset(n: int, key: jax.Array, noise: float = 0.05
 def ring_dataset(n: int, key: jax.Array, radius: float = 2.0,
                  width: float = 0.15, noise: float = 0.02
                  ) -> Tuple[Array, Array]:
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     r = radius + jax.random.uniform(k1, (n, 1)) * width
     theta = jax.random.uniform(k2, (n, 1)) * 2.0 * jnp.pi
     x = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
     x = x + noise * jax.random.normal(k3, x.shape)
-    y = jax.random.bernoulli(k3, 0.5, (n,)).astype(jnp.int32)
+    y = jax.random.bernoulli(k4, 0.5, (n,)).astype(jnp.int32)
     return x, y
 
 
 def banana_dataset(n: int, key: jax.Array, noise: float = 0.05
                    ) -> Tuple[Array, Array]:
-    """Two interleaved arches + a line/blob per class (reference's 'banana')."""
-    k0, k1, kn = jax.random.split(key, 3)
+    """Two interleaved cosine arches + a line/blob per class ('banana').
+
+    The randomness-consumption order follows the reference generator
+    (``/root/reference/src/toydata.py:112-160``) EXACTLY, so with the
+    reference's published generation params (n=500, noise=0.090,
+    seed=584848 — ``/root/reference/Makefile:125-131``) this produces the
+    bit-identical benchmark instance the reference's recorded metrics were
+    measured on (JAX's threefry PRNG is deterministic across platforms).
+    """
+    k_arch1, k_arch0, k_noise = jax.random.split(key, 3)
     half = n // 2
 
-    # class 1: cosine arch shifted down + short slanted line
+    # class 1: cosine arch shifted down ...
     arch_n = int(half * 0.8)
-    ax = jax.random.uniform(k0, (arch_n, 1), minval=-1.0, maxval=1.0)
-    ay = jnp.cos(1.5 * ax) - 0.7
-    arch = jnp.concatenate([ax, ay], axis=1)
-    arch = arch + noise * jax.random.normal(kn, arch.shape)
+    ax = jax.random.uniform(k_arch1, (arch_n, 1), minval=-1.0, maxval=1.0)
+    arch = jnp.concatenate([ax, jnp.cos(1.5 * ax) - 0.7], axis=1)
+    arch = arch + noise * jax.random.normal(k_noise, (arch_n, 2))
+    # ... + short slanted line (fresh fold of both keys)
+    k_arch1 = jax.random.fold_in(k_arch1, 1)
+    k_noise = jax.random.fold_in(k_noise, 1)
     line_n = half - arch_n
-    lx = jax.random.uniform(jax.random.fold_in(k0, 1), (line_n, 1),
-                            minval=0.0, maxval=1.0)
-    ly = 1.5 - 0.2 * lx
-    line = jnp.concatenate([lx, ly], axis=1)
-    line = line + noise * jax.random.normal(jax.random.fold_in(kn, 1),
-                                            line.shape)
-    x1cls = jnp.concatenate([arch, line])
-    y1 = jnp.ones(half, dtype=jnp.int32)
+    lx = jax.random.uniform(k_arch1, (line_n, 1), minval=0.0, maxval=1.0)
+    line = jnp.concatenate([lx, 1.5 - 0.2 * lx], axis=1)
+    line = line + noise * jax.random.normal(k_noise, (line_n, 2))
+    y1 = jnp.ones(half)
 
-    # class 0: wider cosine arch + a blob underneath
+    # class 0: wider cosine arch (reuses the folded noise key) ...
     arch_n = int(half * 0.6)
-    bx = jax.random.uniform(k1, (arch_n, 1), minval=-1.0, maxval=1.1)
-    by = jnp.cos(1.6 * bx)
-    barch = jnp.concatenate([bx, by], axis=1)
-    barch = barch + noise * jax.random.normal(jax.random.fold_in(kn, 2),
-                                              barch.shape)
+    bx = jax.random.uniform(k_arch0, (arch_n, 1), minval=-1.0, maxval=1.1)
+    barch = jnp.concatenate([bx, jnp.cos(1.6 * bx)], axis=1)
+    barch = barch + noise * jax.random.normal(k_noise, (arch_n, 2))
+    # ... + a blob underneath
+    k_arch0 = jax.random.fold_in(k_arch0, 1)
+    kn1, kn2 = jax.random.split(k_noise, 2)
     blob_n = half - arch_n
-    cx = jax.random.uniform(jax.random.fold_in(k1, 1), (blob_n, 1),
-                            minval=-0.4, maxval=0.5)
-    cy = noise * 1.5 * jax.random.normal(jax.random.fold_in(kn, 3),
-                                         (blob_n, 1)) - 0.5
+    cx = jax.random.uniform(k_arch0, (blob_n, 1), minval=-0.4, maxval=0.5)
+    cy = noise * 1.5 * jax.random.normal(kn1, (blob_n, 1)) - 0.5
     blob = jnp.concatenate([cx, cy], axis=1)
-    blob = blob + noise * jax.random.normal(jax.random.fold_in(kn, 4),
-                                            blob.shape)
-    x0cls = jnp.concatenate([barch, blob])
-    y0 = jnp.zeros(half, dtype=jnp.int32)
+    blob = blob + noise * jax.random.normal(kn2, (blob_n, 2))
+    y0 = jnp.zeros(half)
 
-    x = jnp.concatenate([x1cls, x0cls])
-    y = jnp.concatenate([y1, y0])
-    perm = jax.random.permutation(jax.random.fold_in(key, 1337), x.shape[0])
+    x = jnp.concatenate([arch, line, barch, blob], axis=0)
+    y = jnp.concatenate([y1, y0]).astype(jnp.int32)
+    perm = jax.random.permutation(jax.random.fold_in(key, 1337), n)
     return x[perm], y[perm]
 
 
@@ -139,9 +142,10 @@ def create_dataset(name: str, n: int, key: jax.Array, noise: float = 0.05,
     return GENERATORS[name](n, key, noise=noise, **kwargs)
 
 
-def save_dataset(x: Array, y: Array, path: str) -> None:
+def save_dataset(x: Array, y: Array, path: str, **meta) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, x=np.asarray(x), y=np.asarray(y))
+    np.savez(path, x=np.asarray(x), y=np.asarray(y),
+             **{k: np.asarray(v) for k, v in meta.items()})
 
 
 def load_dataset(path: str) -> Tuple[Array, Array]:
@@ -162,12 +166,23 @@ def train_test_val_split(x: Array, y: Array,
 
 def ensure_toy_npz(name: str, data_dir: str = "data", n: int = 512,
                    noise: float = 0.05, seed: int = 42, **kwargs) -> str:
-    """Generate-and-cache a toy dataset npz (hermetic: no torch downloads)."""
+    """Generate-and-cache a toy dataset npz (hermetic: no torch downloads).
+
+    The cache embeds its generation params and regenerates on mismatch —
+    otherwise a stale file from an older config would silently win forever.
+    """
     path = os.path.join(data_dir, f"{name}.npz")
-    if not os.path.exists(path):
-        x, y = create_dataset(name, n, jax.random.PRNGKey(seed), noise=noise,
-                              **kwargs)
-        save_dataset(x, y, path)
+    if os.path.exists(path):
+        d = np.load(path)
+        fresh = all(k in d and float(d[k]) == float(v)
+                    for k, v in dict(n=n, noise=noise, seed=seed).items())
+        if fresh:
+            return path
+        print(f"[data] {path} has different generation params — regenerating "
+              f"(n={n}, noise={noise}, seed={seed})")
+    x, y = create_dataset(name, n, jax.random.PRNGKey(seed), noise=noise,
+                          **kwargs)
+    save_dataset(x, y, path, n=n, noise=noise, seed=seed)
     return path
 
 

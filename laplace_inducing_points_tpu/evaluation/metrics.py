@@ -56,6 +56,11 @@ def ece(probs: np.ndarray, labels: np.ndarray, n_bins: int = 15) -> float:
     total = 0.0
     for lo, hi in zip(edges[:-1], edges[1:]):
         mask = (conf >= lo) & (conf < hi)
+        if hi >= 1.0:
+            # deliberate deviation from the reference: its top bin excludes
+            # conf == 1.0 exactly (common with saturated f32 softmax),
+            # biasing ECE low on confident models — include it here
+            mask = (conf >= lo) & (conf <= hi)
         if not mask.any():
             continue
         total += abs(conf[mask].mean() - correct[mask].mean()) * mask.mean()

@@ -1,6 +1,7 @@
 """Inference: LLA predictives and the posterior weight sampler."""
 
 from laplace_inducing_points_tpu.inference.lla import (Gaussian,
+                                                       ScalableLLAPredictor,
                                                        materialize_covariance,
                                                        posterior_lla_dense,
                                                        predict_la_samples_dense,

@@ -13,6 +13,7 @@ tensorflow-probability dependency (``/root/reference/src/lla.py:4``).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -20,7 +21,9 @@ import jax.numpy as jnp
 
 from laplace_inducing_points_tpu.core import operators as ops
 from laplace_inducing_points_tpu.core.params import flatten_nn_params, split_nn_params
-from laplace_inducing_points_tpu.inference.sample import sample as sample_weights
+from laplace_inducing_points_tpu.inference.sample import (_g_weights,
+                                                          sample as sample_weights)
+from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
 
 
 class Gaussian(NamedTuple):
@@ -122,6 +125,61 @@ def predict_lla_scalable(state: Any, Xnew: jnp.ndarray, Z: jnp.ndarray,
     lin = ops.linearize_model(state, Xnew)
     dys = jax.vmap(lin.jvp)(w_samples)                           # (S, N, K)
     return lin.f0[None] + dys
+
+
+@partial(jax.jit,
+         static_argnames=("num_samples", "rank_tol", "range_clip_min"))
+def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
+                             num_samples: int, rank_tol: float,
+                             range_clip_min):
+    """One jitted eval step: posterior weight draws through the PREBUILT
+    spectral factor + linearized push-forward at ``x``.
+
+    ``alpha`` is traced, so an alpha grid search reuses this executable."""
+    g = _g_weights(lam, alpha, beta, rank_tol, range_clip_min)
+    eps = jax.random.normal(key, (num_samples, R.shape[1]))
+    U = ops.pdot(eps, R.T)                                 # (S, d)
+    mixed = ops.pdot(U, V) * g                             # (S, d) · diag(g)
+    w = eps / jnp.sqrt(alpha) + ops.pdot(ops.pdot(mixed, V.T), R)
+    lin = ops.linearize_model(state, x)
+    dys = jax.vmap(lin.jvp)(w)                             # (S, B, K)
+    return lin.f0[None] + dys
+
+
+class ScalableLLAPredictor:
+    """Amortized IP-LLA predictive for a fixed ``(state, Z)``.
+
+    ``predict_lla_scalable`` rebuilds the ``(d×D)`` row factor, its SYRK
+    Gram, and the ``d×d`` eigendecomposition for EVERY call — at ResNet1M
+    scale that factor build dominates evaluation (reference eval loop:
+    ``/root/reference/scale_experiments/evaluate.py:316-337``). This class
+    builds the factor ONCE; each batch then costs two MXU matmuls plus one
+    batched jvp, all inside a single jitted step. ``alpha`` stays traced,
+    so alpha grid searches also share the factor and the executable.
+    """
+
+    def __init__(self, state: Any, Z: jnp.ndarray, *,
+                 full_set_size: Optional[int] = None,
+                 example_block: Optional[int] = None,
+                 rank_tol: float = 1e-7,
+                 range_clip_min: Optional[float] = None):
+        M = Z.shape[0]
+        self.state = state
+        self.beta = float(full_set_size or M) / M
+        self.rank_tol = rank_tol
+        self.range_clip_min = range_clip_min
+        self.R = ops.dense_wt(state, Z, example_block=example_block)
+        gram = syrk(self.R)
+        self.lam, self.V = jnp.linalg.eigh(
+            ops.ensure_symmetry(gram, jitter=0.0))
+
+    def logit_samples(self, x: jnp.ndarray, alpha, key: jax.Array,
+                      num_samples: int) -> jnp.ndarray:
+        """(num_samples, B, K) predictive logit samples for one batch."""
+        return _amortized_logit_samples(
+            self.state, self.R, self.lam, self.V, alpha, self.beta,
+            jnp.asarray(x, dtype=jnp.float32), key, num_samples,
+            self.rank_tol, self.range_clip_min)
 
 
 def materialize_covariance(f_cov_vp, n: int, out_dim: int,

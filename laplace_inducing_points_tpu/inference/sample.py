@@ -39,21 +39,34 @@ from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
 
 
 def _g_weights(lam: jnp.ndarray, alpha, beta,
-               rank_tol: float = 1e-7) -> jnp.ndarray:
-    """Spectral weights g(λ) with pseudo-inverse thresholding."""
+               rank_tol: float = 1e-7,
+               range_clip_min: Optional[float] = None) -> jnp.ndarray:
+    """Spectral weights g(λ) with pseudo-inverse thresholding.
+
+    ``range_clip_min``: clip the range-space eigenvalues ``α + βλ`` from
+    below before the inverse sqrt — ``1.0`` reproduces the reference's
+    monkeypatched sampler (``/root/reference/src/matfree_monkeypatch.py:20``
+    clips the Lanczos eigenvalues at 1.0), which caps the posterior variance
+    of weak-curvature range directions at 1 instead of 1/(α+βλ). The
+    reference's PUBLISHED metrics embed this clip; ``None`` gives the exact
+    inverse square root.
+    """
     lam_max = jnp.max(lam)
     mask = lam > rank_tol * jnp.maximum(lam_max, 1.0)
     lam_safe = jnp.where(mask, lam, 1.0)
-    g = (1.0 / jnp.sqrt(alpha + beta * lam_safe)
-         - 1.0 / jnp.sqrt(alpha)) / lam_safe
+    inner = alpha + beta * lam_safe
+    if range_clip_min is not None:
+        inner = jnp.maximum(inner, range_clip_min)
+    g = (1.0 / jnp.sqrt(inner) - 1.0 / jnp.sqrt(alpha)) / lam_safe
     return jnp.where(mask, g, 0.0)
 
 
 def inv_matsqrt_gram(gram: jnp.ndarray, alpha, beta,
-                     rank_tol: float = 1e-7):
+                     rank_tol: float = 1e-7,
+                     range_clip_min: Optional[float] = None):
     """Precompute the spectral factor; returns (V·diag(g)·Vᵀ, d×d)."""
     lam, V = jnp.linalg.eigh(ops.ensure_symmetry(gram, jitter=0.0))
-    g = _g_weights(lam, alpha, beta, rank_tol)
+    g = _g_weights(lam, alpha, beta, rank_tol, range_clip_min)
     return (V * g) @ V.T
 
 
@@ -62,7 +75,8 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
                      rank_tol: float = 1e-7,
                      gram_block: Optional[int] = None,
                      materialize_w: bool = True,
-                     example_block: Optional[int] = None
+                     example_block: Optional[int] = None,
+                     range_clip_min: Optional[float] = None
                      ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``Eps (P, D) ↦ S^{-1/2} Eps`` for ``S = αI + β W Wᵀ``.
 
@@ -78,7 +92,8 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
     if materialize_w:
         R = ops.dense_wt(state, Z, example_block=example_block)  # (d, D)
         gram = syrk(R)
-        core = inv_matsqrt_gram(gram, alpha, beta, rank_tol)   # (d, d)
+        core = inv_matsqrt_gram(gram, alpha, beta, rank_tol,
+                                range_clip_min)                # (d, d)
 
         def apply(eps: jnp.ndarray) -> jnp.ndarray:
             U = ops.pdot(eps, R.T)                     # (P, d) = (Wᵀ ε)ᵀ
@@ -88,7 +103,7 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
 
     w = ops.make_w_factor(state, Z, full_set_size=None)
     gram = w.gram(block=gram_block)
-    core = inv_matsqrt_gram(gram, alpha, beta, rank_tol)
+    core = inv_matsqrt_gram(gram, alpha, beta, rank_tol, range_clip_min)
     M_, K_ = w.inner_shape
 
     def apply(eps: jnp.ndarray) -> jnp.ndarray:

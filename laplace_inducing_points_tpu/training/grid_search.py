@@ -21,7 +21,8 @@ def grid_search_alpha(state, Z0, val_loader: Iterable, *,
                       log10_min: float = -3.0, log10_max: float = 2.0,
                       n_coarse: int = 7, refine: bool = True,
                       rng_key: int = 0, verbose: bool = True,
-                      eval_fn: Optional[Callable] = None) -> float:
+                      eval_fn: Optional[Callable] = None,
+                      range_clip_min: Optional[float] = None) -> float:
     """Return the α minimizing validation NLL of the IP-LLA predictive.
 
     ``eval_fn(state, loader, Z, alpha, full_set_size, num_mc_samples, rng)
@@ -29,12 +30,22 @@ def grid_search_alpha(state, Z0, val_loader: Iterable, *,
     """
     if eval_fn is None:
         from laplace_inducing_points_tpu.evaluation.harness import eval_dataset
+        from laplace_inducing_points_tpu.inference.lla import (
+            ScalableLLAPredictor)
+
+        # the posterior factor depends on (state, Z) but NOT on alpha:
+        # build it once, sweep every candidate alpha against it (alpha is
+        # traced inside the predictor's jitted step — one executable total)
+        predictor = ScalableLLAPredictor(state, Z0,
+                                         full_set_size=full_set_size,
+                                         range_clip_min=range_clip_min)
 
         def eval_fn(state, loader, Z, alpha, full_set_size, num_mc_samples,
                     rng):
             return eval_dataset(state, loader, Z, alpha=alpha,
                                 full_set_size=full_set_size,
-                                num_mc_samples=num_mc_samples, rng=rng)
+                                num_mc_samples=num_mc_samples, rng=rng,
+                                predictor=predictor)
 
     alphas = np.logspace(log10_min, log10_max, n_coarse)
     rng = jax.random.PRNGKey(rng_key)

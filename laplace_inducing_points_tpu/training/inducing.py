@@ -234,6 +234,7 @@ def train_inducing_points(state, z_init: jnp.ndarray,
     opt_state = optimizer.init(Z)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     it = iter(batches)
+    last_finite_Z = Z           # divergence guard: never return/save NaN Z
     for step in range(num_steps):
         x_batch, _ = next(it)
         rng, sub = jax.random.split(rng)
@@ -243,10 +244,20 @@ def train_inducing_points(state, z_init: jnp.ndarray,
             full_set_size=full_set_size, st_samples=st_samples,
             slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
             example_block=example_block)
-        if verbose and (step % 10 == 0 or step == num_steps - 1):
-            print(f"[inducing {step:4d}] loss={float(loss):.4f}")
-        if callback is not None:
-            callback(step, Z, float(loss))
+        check = step % 10 == 0 or step == num_steps - 1
+        if check or callback is not None:
+            loss_f = float(loss)
+            if not (jnp.isfinite(loss_f)
+                    and bool(jnp.all(jnp.isfinite(Z)))):
+                print(f"[inducing {step:4d}] DIVERGED (loss={loss_f}); "
+                      "stopping and keeping the last finite Z — try a "
+                      "smaller lr or alpha")
+                return last_finite_Z
+            last_finite_Z = Z
+            if verbose and check:
+                print(f"[inducing {step:4d}] loss={loss_f:.4f}")
+            if callback is not None:
+                callback(step, Z, loss_f)
         if checkpoint_dir and (step + 1) % checkpoint_every == 0 \
                 and step + 1 < num_steps:
             from laplace_inducing_points_tpu.utils.checkpoint import save_array

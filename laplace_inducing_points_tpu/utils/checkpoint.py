@@ -122,6 +122,29 @@ def save_array(array, ckpt_dir: str, name: str, step: int) -> str:
     return fn
 
 
+def save_run_meta(ckpt_dir: str, name: str, meta: dict) -> str:
+    """Persist small run metadata (e.g. the pipeline's grid-searched alpha)
+    as JSON next to the array checkpoints, so evaluation never needs a
+    hand-picked alpha."""
+    import json
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    fn = os.path.join(path, f"{name}_meta.json")
+    with open(fn, "w") as f:
+        json.dump(meta, f)
+    print(f"[checkpoint] saved run meta -> {fn}: {meta}")
+    return fn
+
+
+def load_run_meta(ckpt_dir: str, name: str) -> Optional[dict]:
+    import json
+    fn = os.path.join(os.path.abspath(ckpt_dir), f"{name}_meta.json")
+    if not os.path.exists(fn):
+        return None
+    with open(fn) as f:
+        return json.load(f)
+
+
 def load_array(ckpt_dir: str, name: str, step: int):
     fn = os.path.join(os.path.abspath(ckpt_dir), f"{name}_{step}.npz")
     if not os.path.exists(fn):

@@ -41,11 +41,11 @@ TOY_DATASETS = ("sine", "xor", "spiral", "ring", "banana")
 
 def _loaders(name: str, batch_size: int, data_dir: str, data_cfg=None):
     if name in TOY_DATASETS:
-        data_cfg = data_cfg or {}
+        data_cfg = dict(data_cfg or {})
         x, y = load_dataset(ensure_toy_npz(
-            name, data_dir=data_dir, n=data_cfg.get("n", 512),
-            noise=data_cfg.get("noise", 0.05),
-            seed=data_cfg.get("seed", 42)))
+            name, data_dir=data_dir, n=data_cfg.pop("n", 512),
+            noise=data_cfg.pop("noise", 0.05),
+            seed=data_cfg.pop("seed", 42), **data_cfg))
         tr, te, va = train_test_val_split(x, y)
         return make_dataloaders(ArrayDataset(*tr), ArrayDataset(*te),
                                 ArrayDataset(*va), batch_size)

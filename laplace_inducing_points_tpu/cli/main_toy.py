@@ -69,6 +69,10 @@ def build_parser():
                         "posterior inverse sqrt (<=0 disables)")
     p.add_argument("--plot_Z", action="store_true")
     p.add_argument("--plot_X", action="store_true")
+    p.add_argument("--comparison", action="store_true",
+                   help="also render the LA-vs-LLA 1x3 predictive-mean "
+                        "figure and the 2x1 IP-LLA mean/std figure "
+                        "(reference nplot.py:255-394)")
     p.add_argument("--ckpt_map", default="checkpoint/map/")
     p.add_argument("--ckpt_induc", default="checkpoint/ind/")
     p.add_argument("--fig_dir", default="fig/")
@@ -93,11 +97,12 @@ def main(argv=None):
         x, y = load_dataset(args.dataset)
         ds_name = os.path.splitext(os.path.basename(args.dataset))[0]
     else:
-        data_cfg = cfg.get("data") or {}
+        data_cfg = dict(cfg.get("data") or {})
         path = ensure_toy_npz(args.dataset, data_dir=args.data_dir,
-                              n=data_cfg.get("n", 512),
-                              noise=data_cfg.get("noise", 0.05),
-                              seed=data_cfg.get("seed", 42))
+                              n=data_cfg.pop("n", 512),
+                              noise=data_cfg.pop("noise", 0.05),
+                              seed=data_cfg.pop("seed", 42),
+                              **data_cfg)   # e.g. split_in_middle
         x, y = load_dataset(path)
         ds_name = args.dataset
     (tr, te, va) = train_test_val_split(x, y)
@@ -201,6 +206,20 @@ def main(argv=None):
                 full_set_size=None if args.full else full_set_size,
                 save_path=os.path.join(args.fig_dir,
                                        f"{ds_name}_{model_kind}_lla.png"))
+        if args.comparison and model_kind == "classifier":
+            mc = min(args.num_mc_samples_lla, 100)
+            nplot.make_predictive_mean_figure(
+                state, tr[0], tr[1], alpha_ip,
+                key=jax.random.PRNGKey(7), num_mc_samples=mc,
+                save_path=os.path.join(args.fig_dir,
+                                       f"{ds_name}_mean_comparison.png"))
+            nplot.make_comparison_figure(
+                state, tr[0], tr[1], Z_plot, alpha_ip,
+                key=jax.random.PRNGKey(8), num_mc_samples=mc,
+                scalable=args.scalable,
+                full_set_size=None if args.full else full_set_size,
+                save_path=os.path.join(args.fig_dir,
+                                       f"{ds_name}_ip_lla_comparison.png"))
         print("[DONE] Visualization.")
 
 

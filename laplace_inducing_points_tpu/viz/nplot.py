@@ -169,6 +169,121 @@ def plot_regression_lla_1d(state, xtrain, ytrain, Z, alpha, *,
     return fig, ax
 
 
+def make_predictive_mean_figure(state, xtrain, ytrain, alpha, *,
+                                key=None, num_mc_samples: int = 100,
+                                grid_num: int = 120,
+                                save_path: Optional[str] = None):
+    """1×3 qualitative headline figure: [MAP] [LA-MC] [LLA] predictive means.
+
+    Parity: ``make_predictive_mean_figure`` + ``plot_la_sampled_mean``
+    (``/root/reference/src/nplot.py:255-337``) — the thesis's side-by-side of
+    the sampled (non-linearized) Laplace predictive vs the linearized one,
+    with a shared probability colorbar.
+    """
+    import jax
+    import jax.numpy as jnp
+    import matplotlib as mpl
+
+    from laplace_inducing_points_tpu.core.operators import model_outputs
+    from laplace_inducing_points_tpu.inference.lla import (
+        predict_la_samples_dense, predict_lla_scalable)
+
+    key = key if key is not None else __import__("jax").random.PRNGKey(42)
+    xx, yy, pts = _grid(xtrain, pad=1.0, num=grid_num)
+    pts_j = jnp.asarray(pts)
+    Z = jnp.asarray(xtrain)
+
+    # panel 1: MAP point estimate
+    logits_map = model_outputs(state, state.params, pts_j)
+    p_map = np.asarray(jax.nn.softmax(logits_map, -1))[:, 1].reshape(xx.shape)
+
+    # panel 2: sampled (non-linearized) Laplace — weights from the dense
+    # posterior pushed through the full network
+    k1, k2 = jax.random.split(key)
+    logits_la = predict_la_samples_dense(state, pts_j, Z, alpha, k1,
+                                         full_set_size=Z.shape[0],
+                                         num_mc_samples=num_mc_samples)
+    p_la = np.asarray(jax.nn.softmax(logits_la, -1)).mean(0)[:, 1] \
+        .reshape(xx.shape)
+
+    # panel 3: linearized Laplace (LLA)
+    logits_lla = predict_lla_scalable(state, pts_j, Z, alpha, key=k2,
+                                      full_set_size=Z.shape[0],
+                                      num_samples=num_mc_samples)
+    p_lla = np.asarray(jax.nn.softmax(logits_lla, -1)).mean(0)[:, 1] \
+        .reshape(xx.shape)
+
+    norm = mpl.colors.Normalize(0, 1)
+    fig, axs = plt.subplots(1, 3, figsize=(13, 4), sharex=True,
+                            constrained_layout=True)
+    for ax, surf, title in zip(
+            axs, (p_map, p_la, p_lla),
+            ("NN MAP", "Without Linearization", "With Linearization")):
+        ax.pcolormesh(xx, yy, surf, cmap="RdBu", norm=norm, rasterized=True)
+        plot_binary_classification_data(ax, xtrain, ytrain)
+        ax.set_title(title)
+        ax.set_xlabel(r"$x_1$")
+        ax.set_xticks([])
+        ax.set_yticks([])
+    axs[0].set_ylabel(r"$x_2$")
+    fig.colorbar(mpl.cm.ScalarMappable(norm=norm, cmap="RdBu"), ax=axs,
+                 location="left",
+                 label=r"$\mathrm{E}[y^* \mid x^*, \mathcal{D}]$")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig, axs
+
+
+def make_comparison_figure(state, xtrain, ytrain, Z, alpha, *,
+                           key=None, num_mc_samples: int = 100,
+                           scalable: bool = True,
+                           full_set_size: Optional[int] = None,
+                           grid_num: int = 120,
+                           save_path: Optional[str] = None):
+    """2×1 IP-LLA figure: predictive mean over predictive std.
+
+    Parity: ``make_comparison_figure``
+    (``/root/reference/src/nplot.py:340-394``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from laplace_inducing_points_tpu.evaluation.harness import (
+        batch_logit_samples)
+
+    key = key if key is not None else jax.random.PRNGKey(42)
+    xx, yy, pts = _grid(xtrain, pad=1.0, num=grid_num)
+    logits = batch_logit_samples(
+        state, jnp.asarray(pts), jnp.asarray(Z), alpha=alpha,
+        full_set_size=full_set_size, num_mc_samples=num_mc_samples,
+        rng=key, scalable=scalable)
+    probs = np.asarray(jax.nn.softmax(logits, -1))
+    mean_p = probs.mean(0)[:, 1].reshape(xx.shape)
+    std_p = probs.std(0)[:, 1].reshape(xx.shape)
+
+    fig, axs = plt.subplots(2, 1, figsize=(7, 11), sharex=True, sharey=True,
+                            constrained_layout=True)
+    im0 = axs[0].pcolormesh(xx, yy, mean_p, cmap="RdBu", rasterized=True)
+    fig.colorbar(im0, ax=axs[0])
+    im1 = axs[1].pcolormesh(xx, yy, std_p, cmap="viridis", rasterized=True)
+    fig.colorbar(im1, ax=axs[1])
+    for ax in axs:
+        plot_binary_classification_data(ax, xtrain, ytrain)
+        plot_inducing_points(ax, Z)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    axs[1].set_xlabel(r"$x_1$")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+    return fig, axs
+
+
 def plot_image_grid(batch, *, color: bool = False, step="", name="",
                     save_path: Optional[str] = None):
     """Grayscale/color grids for image-space inducing points.

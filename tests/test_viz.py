@@ -1,0 +1,27 @@
+"""Headless smoke tests for the comparison figures (VERDICT round-1 item 6:
+the LA-vs-LLA side-by-side, `/root/reference/src/nplot.py:255-394`)."""
+
+import os
+
+import jax
+
+from laplace_inducing_points_tpu.viz import nplot
+
+from fixtures import classifier_state
+
+
+def test_make_predictive_mean_figure(tmp_path):
+    _, state, (x, y) = classifier_state()
+    out = nplot.make_predictive_mean_figure(
+        state, x, y, 0.1, key=jax.random.PRNGKey(0), num_mc_samples=8,
+        grid_num=24, save_path=str(tmp_path / "pm.png"))
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_make_comparison_figure(tmp_path):
+    _, state, (x, y) = classifier_state()
+    Z = x[:6]
+    out = nplot.make_comparison_figure(
+        state, x, y, Z, 0.1, key=jax.random.PRNGKey(0), num_mc_samples=8,
+        full_set_size=32, grid_num=24, save_path=str(tmp_path / "cmp.png"))
+    assert os.path.exists(out) and os.path.getsize(out) > 1000

@@ -5,7 +5,8 @@
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 PY      := python
 
-.PHONY: test test-fast bench toy-banana toy-sine toy-xor scale-mnist eval-mnist dryrun
+.PHONY: test test-fast bench toy-banana toy-sine toy-xor toy-spiral \
+	scale-mnist eval-mnist dryrun data-import
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -43,6 +44,19 @@ eval-mnist:
 dryrun:
 	$(CPU_ENV) XLA_FLAGS="--xla_force_host_platform_device_count=8" \
 		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun OK')"
+
+# ---- real-data import (zero-egress environment) ----------------------------
+# Drop the official files in SRC (mnist/fmnist: the four IDX .gz files;
+# cifar10: cifar-10-python.tar.gz), then e.g.:
+#   make data-import DATASET=mnist SRC=/path/to/downloads
+# Structural IDX validation always; published-MD5 check (STRICT=--strict to
+# enforce). Installs where the training CLIs read from (data/).
+DATASET ?= mnist
+SRC     ?= /tmp/downloads
+STRICT  ?=
+data-import:
+	$(CPU_ENV) $(PY) -m laplace_inducing_points_tpu.cli.import_data \
+		--dataset $(DATASET) --src $(SRC) --root data $(STRICT)
 
 # ---- native data engine ----------------------------------------------------
 native: native/liblip_data.so

@@ -1,0 +1,100 @@
+"""The REAL-data ingestion path, exercised by a committed fixture.
+
+``data/fixtures/digits_mini`` holds 100 train / 40 test REAL handwritten
+digit images (UCI optical digits via sklearn, 8x8, public domain) written
+as canonical IDX .gz files — so the IDX reader, the import tool's
+validation, and an end-to-end learning run all execute on genuine image
+data despite the zero-egress environment (round-1 VERDICT item 8).
+"""
+
+import gzip
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.path.join(REPO, "data", "fixtures", "digits_mini")
+
+
+def test_idx_reader_loads_real_digits():
+    from laplace_inducing_points_tpu.data.scale import load_arrays
+
+    x, y = load_arrays("mnist", train=True, root=FIXTURE,
+                       allow_synthetic=False)
+    xt, yt = load_arrays("mnist", train=False, root=FIXTURE,
+                         allow_synthetic=False)
+    assert x.shape == (100, 8, 8, 1) and xt.shape == (40, 8, 8, 1)
+    assert x.min() >= 0.0 and x.max() <= 1.0
+    assert set(np.unique(y)) <= set(range(10))
+    # real data, not the synthetic surrogate: the surrogate's per-class
+    # images are near-identical smooth patterns; real digits vary
+    cls = y[0]
+    same = x[y == cls]
+    assert same.shape[0] >= 2
+    assert np.abs(same[0] - same[1]).max() > 0.2
+
+
+def test_import_tool_validates_and_installs(tmp_path):
+    from laplace_inducing_points_tpu.data.import_data import (
+        import_idx, validate_idx_pair)
+    from laplace_inducing_points_tpu.data.scale import load_arrays
+
+    src = os.path.join(FIXTURE, "MNIST", "raw")
+    n, rows, cols = validate_idx_pair(
+        os.path.join(src, "train-images-idx3-ubyte.gz"),
+        os.path.join(src, "train-labels-idx1-ubyte.gz"))
+    assert (n, rows, cols) == (100, 8, 8)
+
+    root = str(tmp_path / "data")
+    # non-strict: the fixture is NOT the canonical MNIST files, so md5s
+    # differ — a warning, not an error
+    import_idx("mnist", src, root=root, strict=False)
+    x, y = load_arrays("mnist", train=True, root=root,
+                       allow_synthetic=False)
+    assert x.shape == (100, 8, 8, 1)
+    with pytest.raises(ValueError, match="md5"):
+        import_idx("mnist", src, root=str(tmp_path / "d2"), strict=True)
+
+
+def test_import_rejects_corrupt_idx(tmp_path):
+    from laplace_inducing_points_tpu.data.import_data import validate_idx_pair
+
+    img = os.path.join(FIXTURE, "MNIST", "raw", "train-images-idx3-ubyte.gz")
+    lab = os.path.join(FIXTURE, "MNIST", "raw", "train-labels-idx1-ubyte.gz")
+    bad = str(tmp_path / "train-images-idx3-ubyte.gz")
+    payload = gzip.open(img, "rb").read()
+    with gzip.open(bad, "wb") as f:
+        f.write(payload[:16] + payload[16:-5])      # truncated pixel body
+    with pytest.raises(ValueError, match="pixel"):
+        validate_idx_pair(bad, lab)
+
+
+def test_model_learns_real_digits():
+    """End-to-end: MAP training on the real 8x8 digits beats chance by a
+    wide margin — the data is real and the pipeline learns from it."""
+    from laplace_inducing_points_tpu.data.scale import load_arrays
+    from laplace_inducing_points_tpu.models.scale import LargeClassifier
+    from laplace_inducing_points_tpu.models.state import create_train_state
+    from laplace_inducing_points_tpu.training.map import map_step
+
+    x, y = load_arrays("mnist", train=True, root=FIXTURE,
+                       allow_synthetic=False)
+    xt, yt = load_arrays("mnist", train=False, root=FIXTURE,
+                         allow_synthetic=False)
+    model = LargeClassifier(input_shape=(8, 8, 1), num_hidden=[32],
+                            num_layers=1, num_classes=10)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x[:1]), optax.adam(5e-3),
+                               model_kind="classifier")
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    for _ in range(60):
+        state, loss = map_step(state, batch, 1e-4)
+    logits = state.apply_fn({"params": state.params}, jnp.asarray(xt),
+                            train=False)
+    acc = float(jnp.mean(jnp.argmax(logits, -1) == jnp.asarray(yt)))
+    assert acc > 0.5, f"real-digit test accuracy {acc} (chance = 0.1)"

@@ -12,7 +12,11 @@ variants are provided, rebuilt on the batched operator layer:
   Grams are (M·K)², built by MXU matmuls — no estimator variance at all.
 * ``kl_objective_stochastic`` — Hutch++ trace + SLQ log-det with shared
   Rademacher probes (reference ``alternative_objective_scalable``,
-  ``:87-173``), for regimes where even ``d_z × d_z`` is too large. Note:
+  ``:87-173``). Its win over the gram path is avoiding the **data-batch**
+  Gram/cross-Gram (``d_x × d_z`` work becomes probe-count-bounded MVPs);
+  the inducing-side solve still goes through the dense ``d_z × d_z`` Gram
+  (Woodbury, parity with the reference), so ``d_z`` itself must fit —
+  both paths share that memory profile. Note:
   the reference's SLQ target omits the ``β = N/M`` recalibration inside the
   bidiagonal operator (``:164-168`` stacks ``[√α·v; Wzᵀv]``); this
   implementation includes it so the stochastic objective is consistent with

@@ -317,11 +317,12 @@ def ggn_matmat_materialized(state: Any, Z: jnp.ndarray, V: jnp.ndarray,
     magnitude. Use when ``M·K·D`` fits memory; pass a prebuilt ``R`` to
     amortize across sweeps.
     """
+    from laplace_inducing_points_tpu.ops.pallas.matmul import ggn_sweep
     M = Z.shape[0]
     N = full_set_size or M
     if R is None:
         R = dense_wt(state, Z, example_block=example_block)    # (M·K, D)
-    return (N / M) * pdot(pdot(V, R.T), R)
+    return ggn_sweep(V, R, N / M)
 
 
 def make_w_factor(state: Any, Z: jnp.ndarray,

@@ -50,7 +50,7 @@ def build_parser():
                         "interleave MAP with gradient ascent on the log "
                         "marginal likelihood (train_map_then_alpha)")
     p.add_argument("--objective", default=None,
-                   choices=["dense", "gram", "stochastic"])
+                   choices=["dense", "gram", "gram_chunked", "stochastic"])
     p.add_argument("--ckpt_map", default="checkpoint/map/")
     p.add_argument("--ckpt_induc", default="checkpoint/ind/")
     p.add_argument("--data_dir", default="data/")
@@ -82,7 +82,11 @@ def main(argv=None):
         print(f"[mesh] data-parallel over {len(jax.devices())} devices")
 
     dummy = jnp.asarray(next(iter(train_loader))[0][:1], dtype=jnp.float32)
-    steps_per_epoch = math.ceil(full_set_size / map_cfg["batch_size"])
+    # schedule over the steps the loader actually yields (full_set_size is
+    # the beta-recalibration N, which may differ from the loaded dataset —
+    # e.g. the offline surrogate is smaller than the real full set)
+    steps_per_epoch = math.ceil(len(train_loader.dataset)
+                                / map_cfg["batch_size"])
     if map_cfg.get("schedule", "cosine") == "cosine":
         lr = cosine_lr(map_cfg["lr"], map_cfg["epochs"], steps_per_epoch)
     else:

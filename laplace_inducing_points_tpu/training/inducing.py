@@ -66,29 +66,17 @@ def _grams(state, Z, X, example_block=None):
     return Gzz, Gxz, tr_Gxx, Rz.shape[1]
 
 
-def kl_objective_gram(Z, X, state, alpha, key=None,
-                      full_set_size: Optional[int] = None,
-                      include_constants: bool = True,
-                      example_block: Optional[int] = None) -> jnp.ndarray:
-    """Exact KL through small Grams (the TPU production objective).
+def _kl_core(Gzz, Gxz, tr_Gxx, D, alpha, beta, gamma,
+             include_constants: bool = True) -> jnp.ndarray:
+    """KL value from the small Gram blocks (shared by the monolithic and
+    chunk-compiled gram objectives).
 
     With β=N/M, γ=N/K, Mᵢ = β⁻¹I + α⁻¹Gzz:
 
       trace  = D + γα⁻¹tr(Gxx) − α⁻¹tr(Mᵢ⁻¹Gzz) − γα⁻²tr(Gxz Mᵢ⁻¹ Gxzᵀ)
       logdet = D·log α + logdet(I + (β/α)·Gzz)
-
-    Z-independent constants are kept by default so the value (not just the
-    gradient) matches ``kl_objective_dense`` in tests; the reference drops
-    them (``/root/reference/src/train_inducing.py:70-85``).
     """
-    N = full_set_size or Z.shape[0]
-    M = Z.shape[0]
-    K = X.shape[0]
-    beta = N / M
-    gamma = N / K
     a_inv = 1.0 / alpha
-
-    Gzz, Gxz, tr_Gxx, D = _grams(state, Z, X, example_block)
     d_z = Gzz.shape[0]
     eye = jnp.eye(d_z, dtype=Gzz.dtype)
 
@@ -114,6 +102,24 @@ def kl_objective_gram(Z, X, state, alpha, key=None,
         trace_term = trace_term + D + gamma * a_inv * tr_Gxx
         logdet_term = logdet_term + D * jnp.log(alpha)
     return trace_term + logdet_term
+
+
+def kl_objective_gram(Z, X, state, alpha, key=None,
+                      full_set_size: Optional[int] = None,
+                      include_constants: bool = True,
+                      example_block: Optional[int] = None) -> jnp.ndarray:
+    """Exact KL through small Grams (the TPU production objective).
+
+    Z-independent constants are kept by default so the value (not just the
+    gradient) matches ``kl_objective_dense`` in tests; the reference drops
+    them (``/root/reference/src/train_inducing.py:70-85``).
+    """
+    N = full_set_size or Z.shape[0]
+    beta = N / Z.shape[0]
+    gamma = N / X.shape[0]
+    Gzz, Gxz, tr_Gxx, D = _grams(state, Z, X, example_block)
+    return _kl_core(Gzz, Gxz, tr_Gxx, D, alpha, beta, gamma,
+                    include_constants)
 
 
 def kl_objective_stochastic(Z, X, state, alpha, key,
@@ -189,6 +195,113 @@ OBJECTIVES = {
 
 
 # ---------------------------------------------------------------------------
+# chunk-compiled gram gradient (compile-budget-bounded at large M·D)
+# ---------------------------------------------------------------------------
+#
+# The monolithic ``optimize_step`` differentiates through the full (d_z × D)
+# row build in ONE XLA program; at ResNet scale (D=1.08M, M=50) that grad
+# graph exceeds the remote-compile budget of the tunneled TPU toolchain
+# (observed HTTP 500s; reference never hits this because it never ran a
+# single-graph Z-gradient at this scale). The chunked path hand-chains the
+# chain rule  dL/dZ = R'(Z)ᵀ · ∂L/∂R  through three SMALL compiled units:
+#
+#   1. rows:      R chunks    (forward row build, one compile per chunk shape)
+#   2. algebra:   value_and_grad of the KL w.r.t. the row matrix (d_z-sized)
+#   3. pullback:  per-chunk VJP of the row build applied to ∂L/∂R_chunk
+#
+# Exact to f32 roundoff vs the monolithic gradient (tested), with compiled-
+# unit size independent of M.
+
+@jax.jit
+def _rows_chunk(state, z_chunk):
+    return ops.dense_wt(state, z_chunk)
+
+
+@jax.jit
+def _rows_chunk_vjp(state, z_chunk, ct_chunk):
+    _, vjp = jax.vjp(lambda z: ops.dense_wt(state, z), z_chunk)
+    return vjp(ct_chunk)[0]
+
+
+def _build_rows_chunked(state, pts, chunk):
+    M = pts.shape[0]
+    chunk = min(chunk, M)
+    parts = []
+    for s in range(0, M, chunk):
+        zc = pts[s:s + chunk]
+        n = zc.shape[0]
+        if n < chunk:                       # pad to the jitted chunk shape
+            zc = jnp.concatenate([zc, pts[:chunk - n]])
+        rows = _rows_chunk(state, zc)       # (chunk·K_out, D)
+        k_out = rows.shape[0] // chunk
+        parts.append(rows[:n * k_out])
+    return jnp.concatenate(parts)
+
+
+@partial(jax.jit, static_argnames=("include_constants",))
+def _kl_rows_value_and_ct(Rz, Rx, alpha, beta, gamma,
+                          include_constants: bool = True):
+    D = Rz.shape[1]
+
+    def f(rz):
+        Gzz = syrk(rz)
+        Gxz = ops.pdot(Rx, rz.T)
+        tr_Gxx = jnp.sum(Rx * Rx)
+        return _kl_core(Gzz, Gxz, tr_Gxx, D, alpha, beta, gamma,
+                        include_constants)
+
+    return jax.value_and_grad(f)(Rz)
+
+
+def kl_grad_gram_chunked(Z, X, state, alpha, *,
+                         full_set_size: Optional[int] = None,
+                         chunk: int = 4, include_constants: bool = True):
+    """(loss, dL/dZ) of the gram KL with chunk-bounded compiled units."""
+    M, Kb = Z.shape[0], X.shape[0]
+    N = full_set_size or M
+    beta, gamma = N / M, N / Kb
+    Rz = _build_rows_chunked(state, Z, chunk)
+    Rx = _build_rows_chunked(state, X, chunk)
+    loss, ct = _kl_rows_value_and_ct(Rz, Rx, alpha, beta, gamma,
+                                     include_constants)
+
+    k_out = Rz.shape[0] // M
+    D = Rz.shape[1]
+    ct3 = ct.reshape(M, k_out, D)
+    chunk = min(chunk, M)
+    grads = []
+    for s in range(0, M, chunk):
+        zc = Z[s:s + chunk]
+        cc = ct3[s:s + chunk]
+        n = zc.shape[0]
+        if n < chunk:
+            zc = jnp.concatenate([zc, Z[:chunk - n]])
+            cc = jnp.concatenate(
+                [cc, jnp.zeros((chunk - n,) + cc.shape[1:], cc.dtype)])
+        g = _rows_chunk_vjp(state, zc, cc.reshape(chunk * k_out, D))
+        grads.append(g[:n])
+    return loss, jnp.concatenate(grads)
+
+
+def optimize_step_chunked(Z, X, state, alpha, opt_state, key=None, *,
+                          optimizer: optax.GradientTransformation,
+                          full_set_size: Optional[int] = None,
+                          example_block: Optional[int] = None):
+    """Chunk-compiled analog of :func:`optimize_step` (gram objective only).
+
+    ``example_block`` doubles as the chunk size (default 4). The optimizer
+    update runs eagerly — negligible next to the row builds it follows.
+    """
+    chunk = example_block or 4
+    loss, grads = kl_grad_gram_chunked(Z, X, state, alpha,
+                                       full_set_size=full_set_size,
+                                       chunk=chunk)
+    updates, new_opt_state = optimizer.update(grads, opt_state, Z)
+    new_Z = optax.apply_updates(Z, updates)
+    return new_Z, new_opt_state, loss
+
+
+# ---------------------------------------------------------------------------
 # optimization
 # ---------------------------------------------------------------------------
 
@@ -242,12 +355,18 @@ def train_inducing_points(state, z_init: jnp.ndarray,
     for step in range(num_steps):
         x_batch, _ = next(it)
         rng, sub = jax.random.split(rng)
-        Z, opt_state, loss = optimize_step(
-            Z, x_batch, state, alpha, opt_state, sub,
-            objective=objective, optimizer=optimizer,
-            full_set_size=full_set_size, st_samples=st_samples,
-            slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
-            example_block=example_block)
+        if objective == "gram_chunked":
+            Z, opt_state, loss = optimize_step_chunked(
+                Z, x_batch, state, alpha, opt_state, sub,
+                optimizer=optimizer, full_set_size=full_set_size,
+                example_block=example_block)
+        else:
+            Z, opt_state, loss = optimize_step(
+                Z, x_batch, state, alpha, opt_state, sub,
+                objective=objective, optimizer=optimizer,
+                full_set_size=full_set_size, st_samples=st_samples,
+                slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
+                example_block=example_block)
         check = step % 10 == 0 or step == num_steps - 1
         if check or callback is not None:
             loss_f = float(loss)

@@ -83,3 +83,49 @@ def test_optimize_step_decreases_dense_objective():
             optimizer=opt, full_set_size=N)
     after = ind.kl_objective_dense(Z, X, state, alpha, full_set_size=N)
     assert float(after) < float(before)
+
+
+def test_chunked_step_matches_monolithic():
+    """The chunk-compiled gradient pipeline (hand-chained VJP through the
+    row build) must reproduce the monolithic optimize_step to f32 roundoff
+    — loss, gradient, and updated Z — including a ragged final chunk."""
+    _, state, (x, y) = classifier_state()
+    Z = x[:5] + 0.3                      # 5 points, chunk=2 -> ragged tail
+    X = x[:12]
+    alpha = 0.4
+    N = 32
+    opt = optax.adam(3e-2)
+
+    loss_c, grad_c = ind.kl_grad_gram_chunked(Z, X, state, alpha,
+                                              full_set_size=N, chunk=2)
+    loss_m, grad_m = jax.value_and_grad(ind.kl_objective_gram)(
+        Z, X, state, alpha, None, full_set_size=N)
+    assert jnp.allclose(loss_c, loss_m, rtol=1e-5)
+    assert jnp.allclose(grad_c, grad_m, rtol=1e-4, atol=1e-5)
+
+    Zc, _, lc = ind.optimize_step_chunked(Z, X, state, alpha, opt.init(Z),
+                                          optimizer=opt, full_set_size=N,
+                                          example_block=2)
+    Zm, _, lm = ind.optimize_step(Z, X, state, alpha, opt.init(Z),
+                                  jax.random.PRNGKey(0), objective="gram",
+                                  optimizer=opt, full_set_size=N)
+    assert jnp.allclose(lc, lm, rtol=1e-5)
+    assert jnp.allclose(Zc, Zm, rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_training_loop_runs():
+    """train_inducing_points dispatches objective='gram_chunked'."""
+    _, state, (x, y) = classifier_state()
+    Z = x[:4] + 0.5
+    batches = [(x[:8], y[:8])] * 40
+
+    def cycling():
+        while True:
+            yield from batches
+
+    Z_out = ind.train_inducing_points(
+        state, Z, optax.adam(5e-2), cycling(), alpha=0.6, num_steps=8,
+        full_set_size=32, objective="gram_chunked", example_block=2,
+        verbose=False)
+    assert Z_out.shape == Z.shape
+    assert bool(jnp.all(jnp.isfinite(Z_out)))

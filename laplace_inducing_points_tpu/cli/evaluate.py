@@ -66,6 +66,10 @@ def build_parser():
                         "inside the posterior inverse sqrt; 1.0 reproduces "
                         "the reference's monkeypatched sampler "
                         "(matfree_monkeypatch.py:20); <=0 disables (exact)")
+    p.add_argument("--sample_block", type=int, default=None,
+                   help="chunk the MC-sample axis of the predictive "
+                        "push-forward (bounds HBM at large models x large "
+                        "batch); default: config sampling.sample_block")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--out_json", default=None,
                    help="append per-repetition metrics as JSON lines")
@@ -121,12 +125,15 @@ def main(argv=None):
     predictor = None
     example_block = ip_cfg.get("example_block")
     range_clip = args.range_clip if args.range_clip > 0 else None
+    sample_block = (args.sample_block if args.sample_block is not None
+                    else cfg.get("sampling", {}).get("sample_block"))
     if args.scalable:
         t0 = time.time()
         predictor = ScalableLLAPredictor(state, Z,
                                          full_set_size=full_set_size,
                                          example_block=example_block,
-                                         range_clip_min=range_clip)
+                                         range_clip_min=range_clip,
+                                         sample_block=sample_block)
         jax.block_until_ready(predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")
 

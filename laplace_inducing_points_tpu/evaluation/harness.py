@@ -40,14 +40,16 @@ def make_batch_sampler(state, Z, *, alpha, full_set_size, num_mc_samples,
                        scalable: bool = True,
                        predictor: Optional[ScalableLLAPredictor] = None,
                        example_block: Optional[int] = None,
-                       range_clip_min: Optional[float] = None):
+                       range_clip_min: Optional[float] = None,
+                       sample_block: Optional[int] = None):
     """Return ``fn(x, key) -> (S, B, C)`` with the posterior factor hoisted
     out of the per-batch loop (built once per (state, Z); alpha stays traced
     so callers may vary it against the same factor)."""
     if scalable:
         pred = predictor if predictor is not None else ScalableLLAPredictor(
             state, Z, full_set_size=full_set_size,
-            example_block=example_block, range_clip_min=range_clip_min)
+            example_block=example_block, range_clip_min=range_clip_min,
+            sample_block=sample_block)
         return lambda x, key: pred.logit_samples(x, alpha, key,
                                                  num_mc_samples)
 
@@ -75,13 +77,14 @@ def eval_dataset(state, loader: Iterable, Z, *, alpha, full_set_size,
                  verbose: bool = False,
                  predictor: Optional[ScalableLLAPredictor] = None,
                  example_block: Optional[int] = None,
-                 range_clip_min: Optional[float] = None) -> Tuple[float, float]:
+                 range_clip_min: Optional[float] = None,
+                 sample_block: Optional[int] = None) -> Tuple[float, float]:
     """Weighted-mean NLL and accuracy (rmse for regressors) over a loader."""
     sampler = make_batch_sampler(
         state, Z, alpha=alpha, full_set_size=full_set_size,
         num_mc_samples=num_mc_samples, scalable=scalable,
         predictor=predictor, example_block=example_block,
-        range_clip_min=range_clip_min)
+        range_clip_min=range_clip_min, sample_block=sample_block)
     tot_nll = tot_acc = tot_n = 0.0
     for x, y in loader:
         rng, sub = jax.random.split(rng)
@@ -102,7 +105,8 @@ def eval_dataset_extended(state, loader: Iterable, Z, *, alpha, full_set_size,
                           num_mc_samples, rng, scalable: bool = True,
                           predictor: Optional[ScalableLLAPredictor] = None,
                           example_block: Optional[int] = None,
-                          range_clip_min: Optional[float] = None) -> dict:
+                          range_clip_min: Optional[float] = None,
+                          sample_block: Optional[int] = None) -> dict:
     """Extended metrics record, dispatched on the model kind.
 
     Classifier: ``{"nll", "acc", "brier", "ece", "probs", "labels"}``.
@@ -115,7 +119,7 @@ def eval_dataset_extended(state, loader: Iterable, Z, *, alpha, full_set_size,
         state, Z, alpha=alpha, full_set_size=full_set_size,
         num_mc_samples=num_mc_samples, scalable=scalable,
         predictor=predictor, example_block=example_block,
-        range_clip_min=range_clip_min)
+        range_clip_min=range_clip_min, sample_block=sample_block)
     tot_nll = tot_acc = tot_n = 0.0
     collected, all_labels = [], []
     covered = 0.0
@@ -163,13 +167,14 @@ def auroc_ood(state, id_probs: np.ndarray, ood_loader: Iterable, Z, *,
               scalable: bool = True,
               predictor: Optional[ScalableLLAPredictor] = None,
               example_block: Optional[int] = None,
-              range_clip_min: Optional[float] = None) -> float:
+              range_clip_min: Optional[float] = None,
+              sample_block: Optional[int] = None) -> float:
     """OOD AUROC against an out-of-distribution loader."""
     sampler = make_batch_sampler(
         state, Z, alpha=alpha, full_set_size=full_set_size,
         num_mc_samples=num_mc_samples, scalable=scalable,
         predictor=predictor, example_block=example_block,
-        range_clip_min=range_clip_min)
+        range_clip_min=range_clip_min, sample_block=sample_block)
     ood_probs = []
     for x, _ in ood_loader:
         rng, sub = jax.random.split(rng)

@@ -128,22 +128,36 @@ def predict_lla_scalable(state: Any, Xnew: jnp.ndarray, Z: jnp.ndarray,
 
 
 @partial(jax.jit,
-         static_argnames=("num_samples", "rank_tol", "range_clip_min"))
+         static_argnames=("num_samples", "rank_tol", "range_clip_min",
+                          "sample_block"))
 def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
                              num_samples: int, rank_tol: float,
-                             range_clip_min):
+                             range_clip_min, sample_block=None):
     """One jitted eval step: posterior weight draws through the PREBUILT
     spectral factor + linearized push-forward at ``x``.
 
-    ``alpha`` is traced, so an alpha grid search reuses this executable."""
+    ``alpha`` is traced, so an alpha grid search reuses this executable.
+    ``sample_block`` bounds peak memory: the vmapped jvp push-forward holds
+    (S, B, activation) temps — at ResNet1M/batch 256/S=200 that is >25 GB
+    of HBM (observed OOM); chunking the sample axis through ``lax.map``
+    caps it at (sample_block, B, activation) per step."""
     g = _g_weights(lam, alpha, beta, rank_tol, range_clip_min)
-    eps = jax.random.normal(key, (num_samples, R.shape[1]))
-    U = ops.pdot(eps, R.T)                                 # (S, d)
-    mixed = ops.pdot(U, V) * g                             # (S, d) · diag(g)
-    w = eps / jnp.sqrt(alpha) + ops.pdot(ops.pdot(mixed, V.T), R)
     lin = ops.linearize_model(state, x)
-    dys = jax.vmap(lin.jvp)(w)                             # (S, B, K)
-    return lin.f0[None] + dys
+
+    def draw(k, n: int):
+        eps = jax.random.normal(k, (n, R.shape[1]))
+        U = ops.pdot(eps, R.T)                             # (n, d)
+        mixed = ops.pdot(U, V) * g                         # (n, d) · diag(g)
+        w = eps / jnp.sqrt(alpha) + ops.pdot(ops.pdot(mixed, V.T), R)
+        return jax.vmap(lin.jvp)(w)                        # (n, B, K)
+
+    if not sample_block or sample_block >= num_samples:
+        return lin.f0[None] + draw(key, num_samples)
+    n_chunks = -(-num_samples // sample_block)
+    keys = jax.random.split(key, n_chunks)
+    dys = jax.lax.map(lambda k: draw(k, sample_block), keys)
+    dys = dys.reshape((n_chunks * sample_block,) + dys.shape[2:])
+    return lin.f0[None] + dys[:num_samples]
 
 
 class ScalableLLAPredictor:
@@ -162,12 +176,14 @@ class ScalableLLAPredictor:
                  full_set_size: Optional[int] = None,
                  example_block: Optional[int] = None,
                  rank_tol: float = 1e-7,
-                 range_clip_min: Optional[float] = None):
+                 range_clip_min: Optional[float] = None,
+                 sample_block: Optional[int] = None):
         M = Z.shape[0]
         self.state = state
         self.beta = float(full_set_size or M) / M
         self.rank_tol = rank_tol
         self.range_clip_min = range_clip_min
+        self.sample_block = sample_block
         self.R = ops.dense_wt(state, Z, example_block=example_block)
         gram = syrk(self.R)
         self.lam, self.V = jnp.linalg.eigh(
@@ -179,7 +195,7 @@ class ScalableLLAPredictor:
         return _amortized_logit_samples(
             self.state, self.R, self.lam, self.V, alpha, self.beta,
             jnp.asarray(x, dtype=jnp.float32), key, num_samples,
-            self.rank_tol, self.range_clip_min)
+            self.rank_tol, self.range_clip_min, self.sample_block)
 
 
 def materialize_covariance(f_cov_vp, n: int, out_dim: int,

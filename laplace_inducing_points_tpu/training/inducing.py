@@ -66,6 +66,21 @@ def _grams(state, Z, X, example_block=None):
     return Gzz, Gxz, tr_Gxx, Rz.shape[1]
 
 
+def _pivot_jitter(C: jnp.ndarray) -> jnp.ndarray:
+    """Cholesky pivot-safety jitter for a theoretically-PD matrix.
+
+    f32 round-off perturbs the computed Gram's spectrum by O(eps·λ_max), so
+    the jitter must track the SPECTRAL norm, not the mean diagonal — at
+    d_z=500 / λ_max≈2.6e5 (saturated flagship ResNet MAP, CIFAR M=50) a
+    mean-diagonal jitter left C indefinite and the first inducing step
+    NaN'd. λ_max is bounded cheaply inside the jit by the Gershgorin row
+    sum; 2e-6 ≈ 16·eps_f32 clears the round-off band while staying below
+    the f32 information limit of any eigenvalue it could bias.
+    """
+    lam_max_bound = jnp.max(jnp.sum(jnp.abs(C), axis=1))
+    return 2e-6 * lam_max_bound
+
+
 def _kl_core(Gzz, Gxz, tr_Gxx, D, alpha, beta, gamma,
              include_constants: bool = True) -> jnp.ndarray:
     """KL value from the small Gram blocks (shared by the monolithic and
@@ -87,9 +102,8 @@ def _kl_core(Gzz, Gxz, tr_Gxx, D, alpha, beta, gamma,
     # α=1e-3). A relative jitter guards the rank-deficient CE case where
     # λ_min(Gzz)=0 and α/β alone can sit below f32 pivot round-off.
     C = Gzz + (alpha / beta) * eye
-    jitter = 1e-6 * jnp.mean(jnp.diag(C))
     L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
-                            + jitter * eye)
+                            + _pivot_jitter(C) * eye)
     C_inv_Gzz = jax.scipy.linalg.cho_solve((L, True), Gzz)
     C_inv_Gxz_t = jax.scipy.linalg.cho_solve((L, True), Gxz.T)
 
@@ -153,9 +167,8 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
     eye = jnp.eye(d_z, dtype=Gzz.dtype)
     # stable C-form Woodbury (see kl_objective_gram): Mᵢ⁻¹ = α·C⁻¹
     C = Gzz + (alpha / beta) * eye
-    jitter = 1e-6 * jnp.mean(jnp.diag(C))
     L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
-                            + jitter * eye)
+                            + _pivot_jitter(C) * eye)
     Mk, Kk = wz.inner_shape
 
     def sz_inv_vp(v):

@@ -93,3 +93,33 @@ def test_eval_dataset_extended_regressor_record():
     assert rec["means"].shape == (4,)
     assert 0.0 <= rec["picp90"] <= 1.0
     assert np.isfinite(rec["nll"]) and np.isfinite(rec["rmse"])
+
+
+def test_sample_block_chunking_statistics_and_shape():
+    """sample_block bounds the jvp push-forward's memory by lax.map'ing
+    sample chunks (flagship ResNet1M/bs=256/S=200 OOM'd vmapping all
+    samples). Chunked draws use different eps than unchunked, so assert
+    shape + moment agreement, and exactness of the ragged final chunk."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:6]
+    alpha, key = 0.3, jax.random.PRNGKey(7)
+
+    pred_full = ScalableLLAPredictor(state, Z, full_set_size=32)
+    pred_blk = ScalableLLAPredictor(state, Z, full_set_size=32,
+                                    sample_block=7)     # ragged: 7*37 > 256
+    S = 256
+    full = np.asarray(pred_full.logit_samples(x[:10], alpha, key, S))
+    blk = np.asarray(pred_blk.logit_samples(x[:10], alpha, key, S))
+    assert blk.shape == full.shape == (S, 10, 2)
+    # element-wise 5-sigma MC bound on the difference of two independent
+    # S-sample means
+    tol = 5.0 * np.maximum(full.std(0), blk.std(0)) / np.sqrt(S) + 0.05
+    assert np.all(np.abs(blk.mean(0) - full.mean(0)) <= tol), (
+        np.max(np.abs(blk.mean(0) - full.mean(0)) / tol))
+    np.testing.assert_allclose(blk.std(0), full.std(0), rtol=0.5, atol=0.2)
+
+    # block >= S must take the unchunked path (bitwise-identical draws)
+    pred_big = ScalableLLAPredictor(state, Z, full_set_size=32,
+                                    sample_block=512)
+    big = np.asarray(pred_big.logit_samples(x[:10], alpha, key, S))
+    np.testing.assert_array_equal(big, full)

@@ -129,3 +129,45 @@ def test_chunked_training_loop_runs():
         verbose=False)
     assert Z_out.shape == Z.shape
     assert bool(jnp.all(jnp.isfinite(Z_out)))
+
+
+def test_kl_core_finite_on_ill_conditioned_gram():
+    """Regression: the flagship CIFAR M=50 run NaN'd at step 0 because the
+    Cholesky jitter scaled with the mean diagonal while f32 round-off on a
+    saturated-MAP Gram (lam_max ~ 2.6e5, rank-deficient) drove lam_min(C)
+    below it. The jitter must track the spectral norm (Gershgorin bound)."""
+    key = jax.random.PRNGKey(0)
+    d_z, r, D = 120, 30, 400
+    # rank-deficient row factor with a huge norm spread -> lam_max >> mean
+    # diagonal, plus exact zero modes (the saturated-softmax regime)
+    basis = jax.random.normal(key, (r, D))
+    scales = jnp.exp(jnp.linspace(0.0, 6.0, r))          # 1 .. 403
+    coef = jax.random.normal(jax.random.fold_in(key, 1), (d_z, r))
+    Rz = (coef * scales) @ basis
+    Rx = jax.random.normal(jax.random.fold_in(key, 2), (40, D))
+    # beta huge (N=49000, M=50 in the flagship) -> alpha/beta floor tiny
+    alpha, beta, gamma = 10.0, 980.0, 1531.0
+    loss, ct = ind._kl_rows_value_and_ct(Rz, Rx, alpha, beta, gamma)
+    assert bool(jnp.isfinite(loss)), float(loss)
+    assert bool(jnp.all(jnp.isfinite(ct)))
+
+
+def test_pivot_jitter_negligible_on_well_scaled_gram():
+    """The spectral-norm jitter must not perturb a well-conditioned small
+    Gram: objective value shift stays far below test tolerances."""
+    key = jax.random.PRNGKey(3)
+    Rz = jax.random.normal(key, (12, 50))
+    Rx = jax.random.normal(jax.random.fold_in(key, 1), (20, 50))
+    loss, _ = ind._kl_rows_value_and_ct(Rz, Rx, 0.6, 2.0, 1.2)
+    # dense twin through the exact same algebra with zero jitter
+    from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
+    Gzz = syrk(Rz)
+    Gxz = Rx @ Rz.T
+    C = Gzz + (0.6 / 2.0) * jnp.eye(12)
+    Ci = jnp.linalg.inv(C)
+    trace = (50 + (1.2 / 0.6) * jnp.sum(Rx * Rx) - jnp.trace(Ci @ Gzz)
+             - (1.2 / 0.6) * jnp.sum(Gxz.T * (Ci @ Gxz.T)))
+    logdet = (50 * jnp.log(0.6) + 12 * jnp.log(2.0 / 0.6)
+              + jnp.linalg.slogdet(C)[1])
+    assert jnp.allclose(loss, trace + logdet, rtol=1e-4), (
+        float(loss), float(trace + logdet))

@@ -1,19 +1,29 @@
 """Benchmark harness: GGN-MVP throughput on the flagship curvature path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures the framework's batched GGN probe sweep (one linearize of the
-batch-applied network; probes vmapped onto the MXU) against a
-reference-faithful implementation of the same contraction — a sequential
-``fori_loop`` over examples with per-example jvp/vjp pairs, vmapped over
-probes, exactly the structure of ``compute_ggn_vp``
-(``/root/reference/src/ggn.py:97-146``) under Hutch++'s ``apply_X``
-(``/root/reference/src/stochtrace.py:113``). Both run on the same device,
-so ``vs_baseline`` isolates the architectural win (BASELINE.md's north-star
-is >=10x the reference's solve throughput).
+Measures the framework's batched GGN probe sweep (materialized row factor,
+pure MXU matmuls) against a reference-faithful implementation of the same
+contraction — a sequential ``fori_loop`` over examples with per-example
+jvp/vjp pairs, vmapped over probes, exactly the structure of
+``compute_ggn_vp`` (``/root/reference/src/ggn.py:97-146``) under Hutch++'s
+``apply_X`` (``/root/reference/src/stochtrace.py:113``). Both run on the
+same device, so ``same_chip_ratio`` isolates the architectural win
+(BASELINE.md's north-star is >=10x the reference's solve throughput).
 
-Model: LeNet5 (~62k params), M=128 examples, P=16 probes — the FMNIST/MNIST
-experiment shape from the reference's scale configs.
+Timing methodology (round 2): per-call wall-clock through the tunneled
+remote-execute backend is dominated by ~38 ms of dispatch latency — round
+1's sweep numbers were latency, not device time. Every fast path here is
+therefore timed by the CHAINED-SCAN SLOPE method: run the op inside a
+``lax.scan`` whose carry feeds each iteration (so the device must execute
+them serially), read back a scalar, and report
+``(t(n_long) − t(1)) / (n_long − 1)`` — the pure device time per op, with
+the latency differenced out. Slow paths (reference-style, ≫ latency) keep
+per-call timing.
+
+Model: LeNet5 (~62k params), M=128 examples, P=256 probes — the
+MNIST/FMNIST experiment shape from the reference's scale configs, with the
+reference configs' st_samples=256 probe count.
 """
 
 from __future__ import annotations
@@ -23,6 +33,7 @@ import os
 import sys
 import threading
 import time
+from functools import partial
 
 # Watchdog: the tunneled TPU can be unreachable (single-client grant wedged
 # or remote side down). If the first device contact doesn't complete within
@@ -48,25 +59,22 @@ def _watchdog_reexec_cpu():
     t.start()
     return t
 
+import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 import optax
 
 from laplace_inducing_points_tpu.core import operators as ops
 from laplace_inducing_points_tpu.core.params import flatten_nn_params
 from laplace_inducing_points_tpu.models.scale import LeNet5
 from laplace_inducing_points_tpu.models.state import create_train_state
+from laplace_inducing_points_tpu.ops.pallas.matmul import ggn_sweep
 
-M = 128          # examples in the curvature batch
-P = 256          # probe vectors per sweep (a realistic Hutch++ probe count,
-                 # matching the reference configs' st_samples=256)
-REPS = 10        # timed sweeps
+M = int(os.environ.get("_LIPT_BENCH_M", 128))   # curvature-batch examples
+P = int(os.environ.get("_LIPT_BENCH_P", 256))   # probe vectors per sweep
 
-# Peak dense-matmul throughput per chip for MFU accounting, TFLOP/s.
-# HIGHEST-precision f32 matmuls on the MXU run as multi-pass bf16
-# (6 passes), so the honest "speed of light" for this sweep is peak/6;
-# MFU is reported against the raw bf16 peak — the number the scaling
-# playbooks mean by MFU.
+# Peak dense-matmul throughput per chip for MFU accounting, TFLOP/s (bf16).
 _PEAK_TFLOPS = {
     "TPU v5 lite": 197.0,   # v5e
     "TPU v5e": 197.0,
@@ -100,52 +108,79 @@ def build():
     return state, x, probes, D
 
 
-def batched_sweep_fn(state, Z):
-    """Framework production path: materialized row factor — the probe sweep
-    is (V Rᵀ) R, pure MXU matmuls; R is built in-sweep (one-shot cost)."""
-    @jax.jit
-    def sweep(V):
-        return ops.ggn_matmat_materialized(state, Z, V)
+# ---------------------------------------------------------------------------
+# chained-scan slope timing
+# ---------------------------------------------------------------------------
+
+_ON_CPU = None
+
+
+def _n_long():
+    # CPU fallback: each sweep is ~seconds, keep the chain short
+    return 4 if jax.devices()[0].platform == "cpu" else 30
+
+
+def slope_time(sweep, V0, *consts, n_reps: int = 4):
+    """Device time per op: sweep maps (V, *consts) -> array shaped like V;
+    iterations are chained through the carry so they serialize."""
+    n_long = _n_long()
+
+    @partial(jax.jit, static_argnames=("n",))
+    def scan_fn(V, n, *consts):
+        def body(v, _):
+            out = sweep(v, *consts)
+            return 0.5 * v + 1e-3 * out, ()
+        v, _ = lax.scan(body, V, None, length=n)
+        return jnp.sum(v)
+
+    for n in (1, n_long):
+        float(np.asarray(scan_fn(V0, n, *consts)))        # compile + warm
+    times = {}
+    for n in (1, n_long):
+        best = 1e9
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            float(np.asarray(scan_fn(V0, n, *consts)))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    per = (times[n_long] - times[1]) / (n_long - 1)
+    return per, times[1]
+
+
+# ---------------------------------------------------------------------------
+# the competing sweep implementations
+# ---------------------------------------------------------------------------
+
+def sweep_default(v, R):
+    """Production estimator path: ggn_sweep at DEFAULT precision
+    (bf16-mul/f32-acc — what stochtrace/sampler contractions use on TPU)."""
+    return ggn_sweep(v, R)
+
+
+def sweep_highest(v, R):
+    """Exact-f32 sweep (posterior-algebra precision)."""
+    return ggn_sweep(v, R, precision=lax.Precision.HIGHEST)
+
+
+def sweep_pallas(v, R):
+    """The long-contraction Pallas study kernels (kept for the record)."""
+    return ggn_sweep(v, R, force_pallas=True)
+
+
+def make_oneshot(state, Z):
+    def sweep(v):
+        return ops.ggn_matmat_materialized(state, Z, v)
     return sweep
 
 
-def amortized_sweep_fns(state, Z):
-    """Production semantics since round 2: ``ScalableLLAPredictor`` (and any
-    estimator loop over one ``(state, Z)``) builds the row factor R ONCE and
-    reuses it across every probe sweep — so the steady-state cost of a sweep
-    is exactly two matmuls, ``(V Rᵀ) R``. Returns (build_R, sweep_highest,
-    sweep_default): HIGHEST is the library default for curvature algebra
-    (f32 6-pass accumulation on the MXU); DEFAULT is the bf16-multiply /
-    f32-accumulate single-pass path, reported for the MFU headroom story."""
-    build_R = jax.jit(lambda: ops.dense_wt(state, Z))
-
-    @jax.jit
-    def sweep_highest(V, R):
-        return ops.pdot(ops.pdot(V, R.T), R)
-
-    @jax.jit
-    def sweep_default(V, R):
-        return jnp.matmul(jnp.matmul(V, R.T), R)
-
-    from laplace_inducing_points_tpu.ops.pallas.matmul import ggn_sweep
-
-    @jax.jit
-    def sweep_kernel(V, R):
-        return ggn_sweep(V, R)
-
-    return build_R, sweep_highest, sweep_default, sweep_kernel
-
-
-def matrixfree_sweep_fn(state, Z):
-    """Matrix-free path: one linearization, per-probe jvp/vjp vmapped."""
-    @jax.jit
-    def sweep(V):
+def make_matrixfree(state, Z):
+    def sweep(v):
         ggn = ops.make_ggn_operator(state, Z)
-        return ggn.matmat(V)
+        return ggn.matmat(v)
     return sweep
 
 
-def reference_style_sweep_fn(state, Z):
+def make_reference_style(state, Z):
     """Reference-faithful path: sequential per-example jvp/H/vjp loop."""
     flat, unravel = flatten_nn_params(state.params)
 
@@ -172,99 +207,97 @@ def reference_style_sweep_fn(state, Z):
     return sweep
 
 
-def time_sweep(fn, probes, reps=REPS, *args):
-    out = fn(probes, *args)
-    jax.block_until_ready(out)          # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(probes, *args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
-
-
 def main():
     from laplace_inducing_points_tpu.utils import setup_compile_cache
     setup_compile_cache()
     watchdog = _watchdog_reexec_cpu()
     log(f"[bench] devices: {jax.devices()}")
     state, x, probes, D = build()
-    log(f"[bench] LeNet5 D={D}, M={M} examples, P={P} probes")
+    log(f"[bench] LeNet5 D={D}, M={M} examples, P={P} probes "
+        f"(chained-scan slope timing, n_long={_n_long()})")
 
-    fast = batched_sweep_fn(state, x)
-    mfree = matrixfree_sweep_fn(state, x)
-    slow = reference_style_sweep_fn(state, x)
-
-    t_fast, out_fast = time_sweep(fast, probes)
+    # R built once per (state, Z) — the library's amortized semantics
+    build_R = jax.jit(lambda z: ops.dense_wt(state, z))
+    R = build_R(x)
+    jax.block_until_ready(R)
     if watchdog is not None:
         watchdog.cancel()              # device contact + compile succeeded
-    log(f"[bench] materialized sweep: {t_fast * 1e3:.2f} ms "
-        f"({P / t_fast:.1f} MVP/s)")
-
-    # amortized production path: R built once per (state, Z), then pure
-    # MXU matmuls per sweep — the semantics ScalableLLAPredictor uses
-    build_R, sweep_hi, sweep_def, sweep_ker = amortized_sweep_fns(state, x)
-    R = build_R()
-    jax.block_until_ready(R)
-    t0 = time.perf_counter()
-    R = build_R()
-    jax.block_until_ready(R)
-    t_build = time.perf_counter() - t0
     d_z = R.shape[0]
-    log(f"[bench] R build ({d_z}x{D}): {t_build * 1e3:.2f} ms")
-
-    t_amort, out_amort = time_sweep(sweep_hi, probes, REPS, R)
-    sweep_flops = 4.0 * P * d_z * D          # two (P,d_z,D) matmuls
+    sweep_flops = 4.0 * P * d_z * D          # two (P, d_z, D) matmuls
     peak = _peak_tflops()
-    tflops_hi = sweep_flops / t_amort / 1e12
-    log(f"[bench] amortized sweep (HIGHEST f32): {t_amort * 1e3:.2f} ms "
-        f"({P / t_amort:.1f} MVP/s, {tflops_hi:.1f} TFLOP/s, "
-        f"MFU {100 * tflops_hi / peak:.1f}% of bf16 peak {peak:.0f})")
+    bf16_floor_ms = 2 * d_z * D * 2 / 819e9 * 1e3   # two bf16 R reads
 
-    t_amort_def, out_def = time_sweep(sweep_def, probes, REPS, R)
-    tflops_def = sweep_flops / t_amort_def / 1e12
-    err_def = float(jnp.max(jnp.abs(out_def - out_amort))
-                    / (jnp.max(jnp.abs(out_amort)) + 1e-12))
-    log(f"[bench] amortized sweep (DEFAULT bf16-mul/f32-acc): "
-        f"{t_amort_def * 1e3:.2f} ms ({P / t_amort_def:.1f} MVP/s, "
-        f"{tflops_def:.1f} TFLOP/s, MFU {100 * tflops_def / peak:.1f}%; "
-        f"rel err vs HIGHEST {err_def:.1e})")
+    def report(name, per, extra=""):
+        tf = sweep_flops / per / 1e12
+        log(f"[bench] {name}: {per * 1e3:.3f} ms/sweep "
+            f"({P / per:.0f} MVP/s, {tf:.1f} TF/s, "
+            f"MFU {100 * tf / peak:.1f}%{extra})")
+        return tf
 
-    t_ker, out_ker = time_sweep(sweep_ker, probes, REPS, R)
-    tflops_ker = sweep_flops / t_ker / 1e12
-    err_ker = float(jnp.max(jnp.abs(out_ker - out_amort))
-                    / (jnp.max(jnp.abs(out_amort)) + 1e-12))
-    log(f"[bench] amortized sweep (pallas long-contraction kernels): "
-        f"{t_ker * 1e3:.2f} ms ({P / t_ker:.1f} MVP/s, "
-        f"{tflops_ker:.1f} TFLOP/s, MFU {100 * tflops_ker / peak:.1f}%; "
-        f"rel err vs XLA HIGHEST {err_ker:.1e})")
-    if t_ker < t_amort:            # headline = best exact-precision sweep
-        t_amort, tflops_hi = t_ker, tflops_ker
+    t_def, t1_def = slope_time(sweep_default, probes, R)
+    tflops_def = report("amortized sweep DEFAULT (production estimator "
+                        "path)", t_def,
+                        extra=f"; bf16 HBM floor {bf16_floor_ms:.3f} ms")
+    latency_ms = max(t1_def - t_def, 0.0) * 1e3
+    log(f"[bench] dispatch+readback latency (differenced out): "
+        f"{latency_ms:.1f} ms")
 
-    t_mfree, out_mfree = time_sweep(mfree, probes, reps=max(REPS // 2, 2))
-    log(f"[bench] matrix-free sweep: {t_mfree * 1e3:.2f} ms "
-        f"({P / t_mfree:.1f} MVP/s)")
+    t_hi, _ = slope_time(sweep_highest, probes, R)
+    tflops_hi = report("amortized sweep HIGHEST (exact f32)", t_hi)
 
-    t_slow, out_slow = time_sweep(slow, probes, reps=2)
+    if jax.devices()[0].platform != "cpu":      # kernels are TPU-only
+        t_ker, _ = slope_time(sweep_pallas, probes, R)
+        report("amortized sweep pallas study kernels", t_ker)
+
+    # one-shot: R rebuilt inside every sweep (round-1 semantics)
+    t_one, _ = slope_time(make_oneshot(state, x), probes)
+    log(f"[bench] one-shot sweep (R rebuilt in-sweep): "
+        f"{t_one * 1e3:.3f} ms ({P / t_one:.0f} MVP/s)")
+
+    # R build alone, chained through Z
+    def r_build_op(z):
+        Rb = build_R(z)
+        return z * (1.0 + 0.0 * Rb.ravel()[0])
+    t_build, _ = slope_time(lambda z: r_build_op(z), x)
+    log(f"[bench] R build ({d_z}x{D}): {t_build * 1e3:.3f} ms")
+
+    t_mf, _ = slope_time(make_matrixfree(state, x), probes)
+    log(f"[bench] matrix-free sweep: {t_mf * 1e3:.3f} ms "
+        f"({P / t_mf:.0f} MVP/s)")
+
+    # reference-style: per-call (runtime >> dispatch latency)
+    slow = make_reference_style(state, x)
+    out_slow = slow(probes)
+    jax.block_until_ready(out_slow)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        out_slow = slow(probes)
+    jax.block_until_ready(out_slow)
+    t_slow = (time.perf_counter() - t0) / 2
     log(f"[bench] reference-style sweep: {t_slow * 1e3:.2f} ms "
-        f"({P / t_slow:.1f} MVP/s)")
+        f"({P / t_slow:.1f} MVP/s, per-call timing)")
 
-    # agreement check — both compute the same contraction
-    err = float(jnp.max(jnp.abs(out_fast - out_slow))
+    # agreement checks — all compute the same contraction
+    out_def = ggn_sweep(probes, R)
+    out_hi = ggn_sweep(probes, R, precision=lax.Precision.HIGHEST)
+    err_def = float(jnp.max(jnp.abs(out_def - out_hi))
+                    / (jnp.max(jnp.abs(out_hi)) + 1e-12))
+    log(f"[bench] DEFAULT vs HIGHEST rel err: {err_def:.1e}")
+    err = float(jnp.max(jnp.abs(out_hi - out_slow))
                 / (jnp.max(jnp.abs(out_slow)) + 1e-12))
-    log(f"[bench] relative agreement: {err:.2e}")
-    # both paths run the model at default (bf16-pass) MXU precision; the
-    # batched vs sequential accumulation orders differ, so ~1e-2 relative
-    # agreement is the expected f32-via-bf16 noise floor
+    log(f"[bench] relative agreement vs reference-style: {err:.2e}")
+    # the model fwd/bwd inside the reference-style path runs at default
+    # (bf16-pass) MXU precision with a different accumulation order, so
+    # ~1e-2 relative agreement is the expected noise floor
     if err > 2e-2:
         log("[bench] WARNING: implementations disagree beyond tolerance")
         sys.exit(1)
 
-    # headline value: the amortized production sweep (R prebuilt per
-    # (state, Z) as the library does since round 2); the one-shot number
-    # (R rebuilt in-sweep, round-1 semantics) is kept as a side field.
-    value = P / t_amort
-    same_chip_ratio = t_slow / t_amort
-    log(f"[bench] same-chip ratio vs reference-style: {same_chip_ratio:.2f}x")
+    # headline: the production estimator sweep (DEFAULT precision, R
+    # amortized per (state, Z) — the semantics stochtrace/sampler use)
+    value = P / t_def
+    same_chip_ratio = t_slow / t_def
+    log(f"[bench] same-chip ratio vs reference-style: {same_chip_ratio:.1f}x")
 
     # BASELINE.md's target is defined against the reference's CPU wall-clock
     # ("=10x reference CPU wall-clock on one TPU v5e chip"); the recorded
@@ -289,12 +322,15 @@ def main():
         "value": round(value, 2),
         "unit": "GGN-MVP/s",
         "vs_baseline": round(vs_baseline, 2),
-        "tflops": round(tflops_hi, 2),
-        "mfu": round(tflops_hi / peak, 4),
-        "tflops_bf16_sweep": round(tflops_def, 2),
-        "mfu_bf16_sweep": round(tflops_def / peak, 4),
-        "oneshot_mvps": round(P / t_fast, 2),
+        "timing": "device_slope",
+        "tflops": round(tflops_def, 2),
+        "mfu": round(tflops_def / peak, 4),
+        "tflops_exact_f32": round(tflops_hi, 2),
+        "mvps_exact_f32": round(P / t_hi, 2),
+        "oneshot_mvps": round(P / t_one, 2),
         "r_build_ms": round(t_build * 1e3, 3),
+        "dispatch_latency_ms": round(latency_ms, 1),
+        "same_chip_ratio": round(same_chip_ratio, 1),
         "peak_tflops_assumed": peak,
     }))
 

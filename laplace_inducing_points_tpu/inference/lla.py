@@ -146,9 +146,12 @@ def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
 
     def draw(k, n: int):
         eps = jax.random.normal(k, (n, R.shape[1]))
-        U = ops.pdot(eps, R.T)                             # (n, d)
+        # the two D-long contractions are estimator-facing (they feed MC
+        # samples): DEFAULT precision rides the HBM roofline; the small
+        # d×d mixing stays HIGHEST (posterior algebra convention)
+        U = ops.sdot(eps, R.T)                             # (n, d)
         mixed = ops.pdot(U, V) * g                         # (n, d) · diag(g)
-        w = eps / jnp.sqrt(alpha) + ops.pdot(ops.pdot(mixed, V.T), R)
+        w = eps / jnp.sqrt(alpha) + ops.sdot(ops.pdot(mixed, V.T), R)
         return jax.vmap(lin.jvp)(w)                        # (n, B, K)
 
     if not sample_block or sample_block >= num_samples:

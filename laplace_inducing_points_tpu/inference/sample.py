@@ -96,8 +96,10 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
                                 range_clip_min)                # (d, d)
 
         def apply(eps: jnp.ndarray) -> jnp.ndarray:
-            U = ops.pdot(eps, R.T)                     # (P, d) = (Wᵀ ε)ᵀ
-            return inv_sqrt_alpha * eps + ops.pdot(ops.pdot(U, core.T), R)
+            # D-long contractions feed MC samples: DEFAULT precision
+            # (HBM-roofline); the small d×d mixing stays HIGHEST
+            U = ops.sdot(eps, R.T)                     # (P, d) = (Wᵀ ε)ᵀ
+            return inv_sqrt_alpha * eps + ops.sdot(ops.pdot(U, core.T), R)
 
         return apply
 

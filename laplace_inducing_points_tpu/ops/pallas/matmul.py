@@ -1,12 +1,8 @@
-"""Pallas TPU kernels for the framework's long-contraction matmul shapes.
+"""Long-contraction matmuls for the probe sweep: XLA default + study kernels.
 
 The curvature algebra is dominated by contractions over the parameter axis
 ``D`` (tens of thousands to millions) with short output dims (probe count P,
-Gram dim d_z = M·K). XLA's stock lowering of these "short x long" matmuls on
-v5e is far off speed-of-light (measured: 28.5 ms for the d=512, D=61706 Gram
-vs 3.2 ms for the SYRK kernel in ``syrk.py``); these kernels apply the same
-k-innermost VMEM-resident accumulation schedule to the two rectangular
-cases the sweep needs:
+Gram dim d_z = M·K):
 
 * ``matmul_nt``: ``C = A Bᵀ`` with A (m, D), B (n, D) — the probe-sweep
   front half ``T = V Rᵀ`` and the cross-Gram ``G_xz = R_x R_zᵀ``
@@ -15,9 +11,24 @@ cases the sweep needs:
 * ``matmul_nn``: ``C = A B`` with A (m, n) small, B (n, D) — the sweep back
   half ``Y = T R``.
 
-Both are differentiable (custom VJPs as small-by-long matmuls) and fall
-back to HIGHEST-precision XLA matmuls off-TPU or at untiled shapes, so CPU
-tests and tiny toy problems never pay kernel overhead.
+**Measured verdict (v5e, chained-scan device timing — see RESULTS.md
+"Timing methodology"):** XLA's stock lowering is at the HBM roofline for
+the full sweep — P=256, d_z=1280, D=61706 runs at 0.40 ms/sweep
+(~97% of the bf16 bandwidth floor; XLA hoists the f32→bf16 operand convert
+of the loop-invariant R) at default precision, and 2.6 ms at HIGHEST
+(the 6-pass compute floor). The Pallas kernels below measure 4.0 ms —
+slower than even XLA HIGHEST, because a per-tile-pair schedule re-fetches
+R strips per output tile on a bandwidth-bound op. Round 1 recorded the
+kernels as a win; that was a per-call timing artifact of the remote-execute
+tunnel's ~38 ms dispatch latency. ``matmul_nt``/``matmul_nn`` therefore
+lower to XLA unless ``force_pallas=True``; the kernels stay as tested,
+differentiable scheduling studies.
+
+Precision policy: these helpers take a ``precision`` argument
+(default HIGHEST — Gram/posterior algebra); estimator-facing probe sweeps
+(``ggn_sweep``) default to DEFAULT precision (bf16-multiply/f32-accumulate,
+6.6× faster, rel err ~3e-4 — far below Hutch++'s own statistical noise).
+On CPU every path is bit-exact f32, so dense-twin tests are unaffected.
 """
 
 from __future__ import annotations
@@ -104,18 +115,19 @@ _matmul_nt_diff.defvjp(_matmul_nt_fwd, _matmul_nt_bwd)
 
 def matmul_nt(A: jnp.ndarray, B: jnp.ndarray, *, bm: int = 256,
               bn: int = 256, bk: int = 512,
-              force_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """``A Bᵀ`` for (m, D) x (n, D) with the long-contraction schedule.
+              force_pallas: Optional[bool] = None,
+              precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """``A Bᵀ`` for (m, D) x (n, D), D long. Differentiable.
 
-    Differentiable; falls back to a HIGHEST XLA matmul off-TPU or when the
-    contraction axis is too short to amortize tiling.
+    Lowers to XLA (at the roofline for these shapes — module docstring);
+    ``force_pallas=True`` selects the study kernel (always HIGHEST).
     """
-    use_pallas = force_pallas
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and A.shape[1] >= 4 * bk)
-    if not use_pallas:
-        return jnp.matmul(A, B.T, precision=jax.lax.Precision.HIGHEST)
+    if not force_pallas:
+        # dot_general over the shared D axis — no explicit Bᵀ, so XLA never
+        # materializes a transposed copy of the long operand
+        return jax.lax.dot_general(A, B, (((1,), (1,)), ((), ())),
+                                   precision=precision,
+                                   preferred_element_type=jnp.float32)
     bm = min(bm, _round_up(A.shape[0]))
     bn = min(bn, _round_up(B.shape[0]))
     return _matmul_nt_diff(A, B, bm, bn, bk)
@@ -187,14 +199,12 @@ _matmul_nn_diff.defvjp(_matmul_nn_fwd, _matmul_nn_bwd)
 
 def matmul_nn(A: jnp.ndarray, B: jnp.ndarray, *, bm: int = 256,
               bd: int = 512, bz: int = 256,
-              force_pallas: Optional[bool] = None) -> jnp.ndarray:
+              force_pallas: Optional[bool] = None,
+              precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """``A B`` for (m, z) x (z, D), D long — the sweep's push-back half."""
-    use_pallas = force_pallas
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and B.shape[1] >= 4 * bd)
-    if not use_pallas:
-        return jnp.matmul(A, B, precision=jax.lax.Precision.HIGHEST)
+    if not force_pallas:
+        return jnp.matmul(A, B, precision=precision,
+                          preferred_element_type=jnp.float32)
     bm = min(bm, _round_up(A.shape[0]))
     bz = min(bz, _round_up(A.shape[1]))
     return _matmul_nn_diff(A, B, bm, bd, bz)
@@ -202,11 +212,18 @@ def matmul_nn(A: jnp.ndarray, B: jnp.ndarray, *, bm: int = 256,
 
 def ggn_sweep(V: jnp.ndarray, R: jnp.ndarray,
               scale: jnp.ndarray | float = 1.0, *,
-              force_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """Fused-schedule GGN probe sweep ``scale * (V Rᵀ) R``.
+              force_pallas: Optional[bool] = None,
+              precision=None) -> jnp.ndarray:
+    """GGN probe sweep ``scale * (V Rᵀ) R``.
 
-    V: (P, D) probes; R: (d_z, D) materialized row factor. Both matmuls run
-    through the long-contraction Pallas kernels on TPU.
+    V: (P, D) probes; R: (d_z, D) materialized row factor. Estimator-facing,
+    so the matmuls default to DEFAULT precision (bf16-mul/f32-acc — at the
+    HBM roofline on v5e, ~3e-4 rel err, negligible next to the estimator's
+    statistical noise; bit-exact f32 on CPU). Pass
+    ``precision=lax.Precision.HIGHEST`` for exact-f32 sweeps.
     """
-    T = matmul_nt(V, R, force_pallas=force_pallas)
-    return scale * matmul_nn(T, R, force_pallas=force_pallas)
+    if precision is None:
+        precision = jax.lax.Precision.DEFAULT
+    T = matmul_nt(V, R, force_pallas=force_pallas, precision=precision)
+    return scale * matmul_nn(T, R, force_pallas=force_pallas,
+                             precision=precision)

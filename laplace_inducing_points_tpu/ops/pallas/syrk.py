@@ -1,26 +1,29 @@
-"""Pallas TPU SYRK: symmetric rank-k update ``C = A Aᵀ`` (lower triangle).
+"""SYRK ``C = A Aᵀ``: XLA HIGHEST matmul by default + a Pallas study kernel.
 
 The Gram matrices at the heart of every objective in this framework
 (``WᵀW``, ``WᵀW_z`` — see training.inducing, inference.sample) are symmetric
 products ``A Aᵀ`` with a short output dim (d = M·K, a few hundred) and a
-long contraction dim (D = #params, up to millions). A plain matmul computes
-both triangles; this kernel schedules **only the lower-triangle tiles** via
-scalar-prefetched tile coordinates, cutting MXU FLOPs ~2× at exactly the
-shape where the framework spends its Gram time (D ≫ d, so the contraction
-loop dominates).
+long contraction dim (D = #params, up to millions).
 
-Kernel design:
-* grid = (num_lower_tiles, k_steps): the first axis walks a flattened list
-  of lower-triangle tile coordinates (i ≥ j), prefetched into SMEM so the
-  BlockSpec index maps can steer the A-tile DMAs; the second accumulates
-  over the contraction dimension in VMEM-resident (bt × bk) strips.
-* accumulation in f32 on the MXU (``preferred_element_type``), zero-init on
-  the first k-step (output block revisiting is contiguous in k).
-* the missing upper triangle is restored outside with a cheap transpose
-  add — O(d²) vs the O(d²·D) contraction.
+**Measured verdict (v5e, chained-scan device timing — see RESULTS.md
+"Timing methodology"):** XLA's stock HIGHEST-precision matmul is already at
+speed-of-light for these shapes — d=1280, D=61706 runs at ~180 TF/s
+(~92% of chip peak) with true-f32 accuracy (7e-7 vs an f64 oracle), and the
+lower-triangle Pallas kernel below is 4–7× SLOWER (2.0 ms vs 0.53 ms at
+d=512; 8.4 ms vs 1.16 ms at d=1280). Round 1 recorded the opposite
+("8.9× kernel win"); that measurement was an artifact of per-call timing
+through the remote-execute tunnel, whose ~38 ms dispatch latency swamps
+sub-40 ms kernels and is pipelined away unevenly across variants. ``syrk``
+therefore lowers to the XLA matmul unless ``force_pallas=True``.
 
-Falls back to a plain high-precision XLA matmul off-TPU (CPU tests) or when
-shapes are too small to tile.
+The kernel is kept (tested, differentiable) as the scheduling study it is:
+grid = (lower-triangle tile list via scalar prefetch, k-strips), f32 VMEM
+accumulation, upper triangle restored by a cheap transpose add. Its loss
+shows why hand-tiling loses here: XLA's lowering streams A through VMEM
+once per output macro-tile with deep DMA pipelining across the whole grid,
+while a per-tile-pair schedule re-fetches A strips (i, k) and (j, k) per
+lower tile — ~(t+1)/2× the HBM traffic at t row tiles, on a
+bandwidth-bound op.
 """
 
 from __future__ import annotations
@@ -49,10 +52,8 @@ def _syrk_kernel(coords_ref, a_i_ref, a_j_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # HIGHEST precision is both the accuracy requirement (the Gram feeds
-    # Cholesky/eigh solves) and, measured on v5e, markedly faster than the
-    # default-precision lowering for this f32 kernel (3.2ms vs 17.3ms at
-    # d=512, D=61706 — 8.9x the XLA HIGHEST matmul's 28.5ms).
+    # HIGHEST precision: the Gram feeds Cholesky/eigh solves, so the
+    # accuracy requirement holds on the kernel path too.
     out_ref[:] += jnp.dot(a_i_ref[:], a_j_ref[:].T,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
@@ -129,18 +130,15 @@ _syrk_diff.defvjp(_syrk_diff_fwd, _syrk_diff_bwd)
 
 def syrk(A: jnp.ndarray, *, block_d: int = 128, block_k: int = 512,
          force_pallas: Optional[bool] = None) -> jnp.ndarray:
-    """``A Aᵀ`` with lower-triangle-only MXU work on TPU.
+    """``A Aᵀ`` Gram build at HIGHEST precision (feeds Cholesky/eigh).
 
-    ``A``: (d, D). Uses the Pallas kernel on TPU backends when the shape is
-    worth tiling; otherwise a HIGHEST-precision XLA matmul. Differentiable
-    (custom VJP — Gram builds sit inside ``grad`` w.r.t. the inducing
-    points in the KL objective).
+    ``A``: (d, D). Lowers to XLA's HIGHEST matmul, which is at
+    speed-of-light for the framework's d ≪ D Gram shapes (~92% of v5e peak
+    at d=1280, D=61706 — see module docstring); ``force_pallas=True``
+    selects the lower-triangle Pallas study kernel instead. Differentiable
+    either way (the kernel path carries a custom VJP — Gram builds sit
+    inside ``grad`` w.r.t. the inducing points in the KL objective).
     """
-    use_pallas = force_pallas
-    if use_pallas is None:
-        on_tpu = jax.default_backend() == "tpu"
-        # tiling pays once there are >= 2 row tiles
-        use_pallas = on_tpu and A.shape[0] > block_d
-    if not use_pallas:
+    if not force_pallas:
         return jnp.matmul(A, A.T, precision=jax.lax.Precision.HIGHEST)
     return _syrk_diff(A, block_d, block_k)

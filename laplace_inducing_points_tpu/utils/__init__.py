@@ -14,15 +14,28 @@ def setup_compile_cache(path: str | None = None) -> None:
     Remote compiles through the axon tunnel are slow (minutes for grad
     graphs); caching makes them one-time. Separate directories per backend
     avoid machine-feature mismatches between locally- and remotely-compiled
-    entries.
+    entries; the CPU dir is additionally keyed by a host-CPU-feature
+    fingerprint — XLA:CPU entries are AOT-compiled against the compiling
+    host's ISA and this VM's visible feature set varies across boots
+    (loading a foreign entry risks SIGILL).
     """
+    import hashlib
     import os
 
     import jax
 
     if path is None:
         backend = os.environ.get("JAX_PLATFORMS", "tpu") or "tpu"
-        path = f"/tmp/jax_cache_{backend.split(',')[0]}"
+        backend = backend.split(",")[0]
+        path = f"/tmp/jax_cache_{backend}"
+        if backend == "cpu":
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next(
+                        (ln for ln in f if ln.startswith("flags")), "")
+                path += "_" + hashlib.sha1(flags.encode()).hexdigest()[:10]
+            except OSError:
+                pass
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

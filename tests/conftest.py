@@ -8,19 +8,38 @@ sharding tests, so if the axon plugin got registered at interpreter start we
 re-exec pytest once with it disabled.
 """
 
+import hashlib
 import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# 8 virtual devices on few physical cores make XLA's in-process collective
+# rendezvous slow enough to trip its stuck-detector, which ABORTS the
+# process (observed: AllGather/CollectivePermute rc=-6 on a 1-core host).
+if "xla_cpu_collective_timeout_seconds" not in _flags:
+    _flags += " --xla_cpu_collective_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = _flags
 
-# persistent compile cache: makes re-runs near-instant even on one core
+# persistent compile cache: makes re-runs near-instant even on one core.
+# Keyed by a host-CPU-feature fingerprint — XLA:CPU cache entries are
+# AOT-compiled against the compiling host's ISA, and this VM's visible
+# feature set varies across boots (loading a foreign entry risks SIGILL).
 import jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        return "nofp"
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache_cpu_{_cpu_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

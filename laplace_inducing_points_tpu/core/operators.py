@@ -52,14 +52,21 @@ def pdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def sdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Large estimator/sampler contraction over the parameter axis.
+    """Large TRACE-ESTIMATOR contraction over the parameter axis.
 
     DEFAULT matmul precision: bf16 multiplies with f32 accumulation on the
     TPU MXU — measured at the HBM roofline for the framework's (P, D)×(D, d)
-    sweep shapes, 6.6× the HIGHEST 6-pass path, with ~3e-4 relative error
-    that is negligible next to MC-sampling / trace-estimator noise.
-    Bit-exact f32 on CPU, so dense-twin tests are unaffected. Use ``pdot``
-    for the small Gram/posterior algebra instead (conventions in CLAUDE.md).
+    sweep shapes, 6.6× the HIGHEST 6-pass path, with ~3e-4 relative error.
+    Bit-exact f32 on CPU, so dense-twin tests are unaffected.
+
+    Scope — estimator sweeps ONLY, where errors enter the estimate
+    linearly and sit far below the ~1/√P statistical noise. Do NOT use for
+    posterior-SAMPLE contractions (``inference/sample.py``, ``lla.py``):
+    there the low-rank correction cancels the prior draw along
+    high-curvature directions and contraction error re-enters the
+    pushed-forward samples amplified by ~√λ_max — bf16 flipped flagship
+    CIFAR accuracy 100%→84% at λ_max≈2e5. Use ``pdot`` there and for all
+    small Gram/posterior algebra (conventions in CLAUDE.md).
     """
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 

@@ -146,12 +146,16 @@ def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
 
     def draw(k, n: int):
         eps = jax.random.normal(k, (n, R.shape[1]))
-        # the two D-long contractions are estimator-facing (they feed MC
-        # samples): DEFAULT precision rides the HBM roofline; the small
-        # d×d mixing stays HIGHEST (posterior algebra convention)
-        U = ops.sdot(eps, R.T)                             # (n, d)
+        # HIGHEST everywhere: the correction CANCELS the prior draw along
+        # high-curvature directions, and any relative error δ in these
+        # contractions re-enters the logits amplified by ~√λ_max (the jvp
+        # sensitivity along stiff directions). bf16-mul contractions
+        # (δ≈1e-2) were tried and flipped flagship CIFAR accuracy
+        # 100%→84% at λ_max≈2e5; exact f32 is mandatory here, unlike the
+        # trace-estimator sweeps where errors enter linearly.
+        U = ops.pdot(eps, R.T)                             # (n, d)
         mixed = ops.pdot(U, V) * g                         # (n, d) · diag(g)
-        w = eps / jnp.sqrt(alpha) + ops.sdot(ops.pdot(mixed, V.T), R)
+        w = eps / jnp.sqrt(alpha) + ops.pdot(ops.pdot(mixed, V.T), R)
         return jax.vmap(lin.jvp)(w)                        # (n, B, K)
 
     if not sample_block or sample_block >= num_samples:

@@ -96,10 +96,12 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
                                 range_clip_min)                # (d, d)
 
         def apply(eps: jnp.ndarray) -> jnp.ndarray:
-            # D-long contractions feed MC samples: DEFAULT precision
-            # (HBM-roofline); the small d×d mixing stays HIGHEST
-            U = ops.sdot(eps, R.T)                     # (P, d) = (Wᵀ ε)ᵀ
-            return inv_sqrt_alpha * eps + ops.sdot(ops.pdot(U, core.T), R)
+            # HIGHEST: the range-term correction cancels the prior draw
+            # along high-curvature directions; contraction error re-enters
+            # the pushed-forward samples amplified by ~√λ_max (see
+            # inference/lla.py draw — bf16 here broke flagship metrics)
+            U = ops.pdot(eps, R.T)                     # (P, d) = (Wᵀ ε)ᵀ
+            return inv_sqrt_alpha * eps + ops.pdot(ops.pdot(U, core.T), R)
 
         return apply
 

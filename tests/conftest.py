@@ -16,11 +16,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# 8 virtual devices on few physical cores make XLA's in-process collective
-# rendezvous slow enough to trip its stuck-detector, which ABORTS the
-# process (observed: AllGather/CollectivePermute rc=-6 on a 1-core host).
-if "xla_cpu_collective_timeout_seconds" not in _flags:
-    _flags += " --xla_cpu_collective_timeout_seconds=1200"
+# XLA:CPU's concurrency-optimized thunk schedule lets virtual devices reach
+# independent collectives of one program in different orders — the
+# in-process rendezvous then deadlocks and the stuck-detector ABORTS the
+# process (rc=-6; see __graft_entry__._bootstrap_subprocess). A sequential
+# schedule removes the race deterministically.
+if "concurrency_optimized_scheduler" not in _flags:
+    _flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
 os.environ["XLA_FLAGS"] = _flags
 
 # persistent compile cache: makes re-runs near-instant even on one core.

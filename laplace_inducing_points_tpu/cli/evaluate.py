@@ -70,6 +70,10 @@ def build_parser():
                    help="chunk the MC-sample axis of the predictive "
                         "push-forward (bounds HBM at large models x large "
                         "batch); default: config sampling.sample_block")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the MC-sample axis of the scalable predictor "
+                        "over all local devices (data-parallel evaluation; "
+                        "no-op on one device)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--out_json", default=None,
                    help="append per-repetition metrics as JSON lines")
@@ -129,11 +133,17 @@ def main(argv=None):
                     else cfg.get("sampling", {}).get("sample_block"))
     if args.scalable:
         t0 = time.time()
+        mesh = None
+        if args.mesh and len(jax.devices()) > 1:
+            from laplace_inducing_points_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+            print(f"[mesh] MC-sample axis over {len(jax.devices())} devices")
         predictor = ScalableLLAPredictor(state, Z,
                                          full_set_size=full_set_size,
                                          example_block=example_block,
                                          range_clip_min=range_clip,
-                                         sample_block=sample_block)
+                                         sample_block=sample_block,
+                                         mesh=mesh)
         jax.block_until_ready(predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")
 

@@ -129,10 +129,11 @@ def predict_lla_scalable(state: Any, Xnew: jnp.ndarray, Z: jnp.ndarray,
 
 @partial(jax.jit,
          static_argnames=("num_samples", "rank_tol", "range_clip_min",
-                          "sample_block"))
+                          "sample_block", "sample_sharding"))
 def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
                              num_samples: int, rank_tol: float,
-                             range_clip_min, sample_block=None):
+                             range_clip_min, sample_block=None,
+                             sample_sharding=None):
     """One jitted eval step: posterior weight draws through the PREBUILT
     spectral factor + linearized push-forward at ``x``.
 
@@ -140,12 +141,18 @@ def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
     ``sample_block`` bounds peak memory: the vmapped jvp push-forward holds
     (S, B, activation) temps — at ResNet1M/batch 256/S=200 that is >25 GB
     of HBM (observed OOM); chunking the sample axis through ``lax.map``
-    caps it at (sample_block, B, activation) per step."""
+    caps it at (sample_block, B, activation) per step.
+    ``sample_sharding`` (a ``NamedSharding`` over the sample axis) lays the
+    MC draws across a device mesh: each device draws and pushes forward its
+    own sample shard — no collectives in the hot loop, since ``R``/``V``
+    and the linearization are replicated."""
     g = _g_weights(lam, alpha, beta, rank_tol, range_clip_min)
     lin = ops.linearize_model(state, x)
 
     def draw(k, n: int):
         eps = jax.random.normal(k, (n, R.shape[1]))
+        if sample_sharding is not None:
+            eps = jax.lax.with_sharding_constraint(eps, sample_sharding)
         # HIGHEST everywhere: the correction CANCELS the prior draw along
         # high-curvature directions, and any relative error δ in these
         # contractions re-enters the logits amplified by ~√λ_max (the jvp
@@ -177,6 +184,14 @@ class ScalableLLAPredictor:
     builds the factor ONCE; each batch then costs two MXU matmuls plus one
     batched jvp, all inside a single jitted step. ``alpha`` stays traced,
     so alpha grid searches also share the factor and the executable.
+
+    ``mesh`` scales evaluation across chips: the posterior factor and the
+    linearization are replicated over the mesh and the MC-sample axis is
+    sharded along ``mesh_axis`` — each device draws and pushes forward
+    ``S / n_devices`` samples with no collectives in the per-batch step
+    (the natural data-parallel decomposition of MC prediction). Values are
+    identical to the single-device path (sharding changes layout, not
+    math); pinned by ``tests/test_sharding.py``.
     """
 
     def __init__(self, state: Any, Z: jnp.ndarray, *,
@@ -184,7 +199,9 @@ class ScalableLLAPredictor:
                  example_block: Optional[int] = None,
                  rank_tol: float = 1e-7,
                  range_clip_min: Optional[float] = None,
-                 sample_block: Optional[int] = None):
+                 sample_block: Optional[int] = None,
+                 mesh: Optional[jax.sharding.Mesh] = None,
+                 mesh_axis: str = "data"):
         M = Z.shape[0]
         self.state = state
         self.beta = float(full_set_size or M) / M
@@ -195,6 +212,15 @@ class ScalableLLAPredictor:
         gram = syrk(self.R)
         self.lam, self.V = jnp.linalg.eigh(
             ops.ensure_symmetry(gram, jitter=0.0))
+        self.sample_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            self.R = jax.device_put(self.R, repl)
+            self.lam = jax.device_put(self.lam, repl)
+            self.V = jax.device_put(self.V, repl)
+            self.state = jax.device_put(self.state, repl)
+            self.sample_sharding = NamedSharding(mesh, P(mesh_axis))
 
     def logit_samples(self, x: jnp.ndarray, alpha, key: jax.Array,
                       num_samples: int) -> jnp.ndarray:
@@ -202,7 +228,8 @@ class ScalableLLAPredictor:
         return _amortized_logit_samples(
             self.state, self.R, self.lam, self.V, alpha, self.beta,
             jnp.asarray(x, dtype=jnp.float32), key, num_samples,
-            self.rank_tol, self.range_clip_min, self.sample_block)
+            self.rank_tol, self.range_clip_min, self.sample_block,
+            self.sample_sharding)
 
 
 def materialize_covariance(f_cov_vp, n: int, out_dim: int,

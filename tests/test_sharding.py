@@ -84,3 +84,32 @@ def test_probe_sharding_placement(mesh):
     sharded = sh.shard_probes(probes, mesh)
     assert len(sharded.sharding.device_set) == 8
     assert jnp.allclose(sharded, probes)
+
+
+def test_mesh_sharded_predictor_matches_single_device(mesh):
+    """Sample-axis-sharded amortized predictor == single-device values.
+
+    The mesh changes layout only: R/V/state replicated, eps sharded over
+    the sample axis, no collectives in the per-batch step."""
+    from laplace_inducing_points_tpu.inference.lla import ScalableLLAPredictor
+
+    _, state, (x, _) = classifier_state()
+    Z = x[:6]
+    key = jax.random.PRNGKey(11)
+
+    plain = ScalableLLAPredictor(state, Z, full_set_size=32)
+    meshed = ScalableLLAPredictor(state, Z, full_set_size=32, mesh=mesh)
+
+    S = 32                                      # divisible by 8 devices
+    a = np.asarray(plain.logit_samples(x[:10], 0.4, key, S))
+    b = np.asarray(meshed.logit_samples(x[:10], 0.4, key, S))
+    assert b.shape == (S, 10, 2)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    assert len(meshed.R.sharding.device_set) == 8   # factor replicated
+
+    # sample_block path under the mesh (block divisible by mesh size)
+    meshed_blk = ScalableLLAPredictor(state, Z, full_set_size=32,
+                                      mesh=mesh, sample_block=16)
+    c = np.asarray(meshed_blk.logit_samples(x[:10], 0.4, key, S))
+    assert c.shape == (S, 10, 2)
+    assert np.all(np.isfinite(c))

@@ -70,6 +70,18 @@ def build_parser():
                    help="chunk the MC-sample axis of the predictive "
                         "push-forward (bounds HBM at large models x large "
                         "batch); default: config sampling.sample_block")
+    p.add_argument("--predictive", choices=["weight", "cov"], default=None,
+                   help="scalable predictive path: 'weight' pushes each MC "
+                        "draw through a jvp (reference parity); 'cov' builds "
+                        "per-image predictive statistics with K backward "
+                        "passes and samples a 2K-dim Gaussian — same "
+                        "distribution, ~K/S of the network work, and "
+                        "alpha-independent cached stats across repetitions. "
+                        "Default: config sampling.predictive, else 'weight'")
+    p.add_argument("--jac_block", type=int, default=None,
+                   help="image-axis chunk for the cov path's Jacobian build "
+                        "(bounds (block, K, D) HBM); default config "
+                        "sampling.jac_block")
     p.add_argument("--mesh", action="store_true",
                    help="shard the MC-sample axis of the scalable predictor "
                         "over all local devices (data-parallel evaluation; "
@@ -138,12 +150,21 @@ def main(argv=None):
             from laplace_inducing_points_tpu.parallel.mesh import make_mesh
             mesh = make_mesh()
             print(f"[mesh] MC-sample axis over {len(jax.devices())} devices")
+        sampling_cfg = cfg.get("sampling", {})
+        predictive = (args.predictive
+                      or sampling_cfg.get("predictive", "weight"))
+        jac_block = (args.jac_block if args.jac_block is not None
+                     else sampling_cfg.get("jac_block"))
+        if predictive != "weight":
+            print(f"[predictor] predictive method: {predictive}")
         predictor = ScalableLLAPredictor(state, Z,
                                          full_set_size=full_set_size,
                                          example_block=example_block,
                                          range_clip_min=range_clip,
                                          sample_block=sample_block,
-                                         mesh=mesh)
+                                         mesh=mesh,
+                                         method=predictive,
+                                         jac_block=jac_block)
         jax.block_until_ready(predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")
 

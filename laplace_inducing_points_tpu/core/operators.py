@@ -271,6 +271,46 @@ def dense_wt(state: Any, Z: jnp.ndarray, *, scale: jnp.ndarray | float = 1.0,
     return scale * R.reshape(-1, flat.shape[0])
 
 
+def predictive_jac_stats(state: Any, x: jnp.ndarray, R: jnp.ndarray,
+                         V: jnp.ndarray, *,
+                         jac_block: Optional[int] = None,
+                         lin: Optional[Linearization] = None):
+    """Per-image predictive sufficient statistics ``(f0, JJᵀ, (J Rᵀ) V)``.
+
+    The IP-LLA predictive at one input depends on its Jacobian ``J (K, D)``
+    only through the two small projections ``J Jᵀ (K, K)`` and
+    ``(J Rᵀ) V (K, d_z)`` — everything else in
+    ``logits − f0 = J S^{-1/2} ε`` lives in the spectral basis of the Gram.
+    Building them costs K backward passes per image (vs one jvp per MC
+    sample in the weight-space push-forward: for K ≪ S this is the cheap
+    side of the predictive), and both are α-INDEPENDENT, so α grid
+    searches and repeated evaluations reuse them for free.
+
+    ``jac_block`` chunks the image axis through ``lax.map`` so only
+    ``(block, K, D)`` Jacobian rows are alive at once (ResNet-scale D).
+    Returns ``(f0 (B, K), JJt (B, K, K), W (B, K, d_z))``.
+    """
+    lin = lin or linearize_model(state, x)
+    flat = lin.flat_params
+    B = x.shape[0]
+
+    def per_image(xi):
+        J = jax.jacrev(lambda p: lin.f_single(p, xi))(flat)   # (K, D)
+        return pdot(J, J.T), pdot(J, R.T)                     # (K,K) (K,d_z)
+
+    if jac_block is None or jac_block >= B:
+        JJt, A = jax.vmap(per_image)(x)
+    else:
+        pad = (-B) % jac_block
+        xp = jnp.concatenate([x, x[:pad]]) if pad else x
+        chunks = xp.reshape(-1, jac_block, *x.shape[1:])
+        JJt, A = jax.lax.map(lambda c: jax.vmap(per_image)(c), chunks)
+        JJt = JJt.reshape(-1, *JJt.shape[2:])[:B]
+        A = A.reshape(-1, *A.shape[2:])[:B]
+    W = jax.vmap(lambda a: pdot(a, V))(A)                     # (B, K, d_z)
+    return lin.f0, JJt, W
+
+
 # ---------------------------------------------------------------------------
 # GGN / curvature operators
 # ---------------------------------------------------------------------------

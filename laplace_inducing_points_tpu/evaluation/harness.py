@@ -50,10 +50,13 @@ def make_batch_sampler(state, Z, *, alpha, full_set_size, num_mc_samples,
             state, Z, full_set_size=full_set_size,
             example_block=example_block, range_clip_min=range_clip_min,
             sample_block=sample_block)
-        return lambda x, key: pred.logit_samples(x, alpha, key,
-                                                 num_mc_samples)
+        # cache_key (the loop's batch index) lets the cov-method predictor
+        # reuse its alpha-independent per-image statistics across
+        # repetitions and alpha grid points
+        return lambda x, key, cache_key=None: pred.logit_samples(
+            x, alpha, key, num_mc_samples, cache_key=cache_key)
 
-    def dense_sampler(x, key):
+    def dense_sampler(x, key, cache_key=None):
         dist = predict_lla_dense(state, jnp.asarray(x, dtype=jnp.float32), Z,
                                  alpha, full_set_size=full_set_size)
         return dist.sample(key, num_mc_samples)
@@ -86,9 +89,9 @@ def eval_dataset(state, loader: Iterable, Z, *, alpha, full_set_size,
         predictor=predictor, example_block=example_block,
         range_clip_min=range_clip_min, sample_block=sample_block)
     tot_nll = tot_acc = tot_n = 0.0
-    for x, y in loader:
+    for i, (x, y) in enumerate(loader):
         rng, sub = jax.random.split(rng)
-        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub)
+        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub, ("eval", i))
         nll, acc, _ = _batch_metrics(state, logits, y)
         bs = x.shape[0]
         tot_nll += float(nll) * bs
@@ -124,9 +127,9 @@ def eval_dataset_extended(state, loader: Iterable, Z, *, alpha, full_set_size,
     collected, all_labels = [], []
     covered = 0.0
     is_regressor = state.model_kind == "regressor"
-    for x, y in loader:
+    for i, (x, y) in enumerate(loader):
         rng, sub = jax.random.split(rng)
-        out = sampler(jnp.asarray(x, dtype=jnp.float32), sub)
+        out = sampler(jnp.asarray(x, dtype=jnp.float32), sub, ("eval", i))
         nll, acc, mean_probs = _batch_metrics(state, out, y)
         bs = x.shape[0]
         tot_nll += float(nll) * bs
@@ -176,9 +179,9 @@ def auroc_ood(state, id_probs: np.ndarray, ood_loader: Iterable, Z, *,
         predictor=predictor, example_block=example_block,
         range_clip_min=range_clip_min, sample_block=sample_block)
     ood_probs = []
-    for x, _ in ood_loader:
+    for i, (x, _) in enumerate(ood_loader):
         rng, sub = jax.random.split(rng)
-        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub)
+        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub, ("ood", i))
         _, _, mean_probs = metrics.mc_predictive_nll_acc(
             logits, jnp.zeros(x.shape[0], dtype=jnp.int32))
         ood_probs.append(np.asarray(mean_probs))

@@ -174,6 +174,55 @@ def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
     return lin.f0[None] + dys[:num_samples]
 
 
+@partial(jax.jit, static_argnames=("jac_block",))
+def _jitted_jac_stats(state, x, R, V, jac_block):
+    return ops.predictive_jac_stats(state, x, R, V, jac_block=jac_block)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "rank_tol",
+                                   "range_clip_min"))
+def _joint_logit_samples(f0, JJt, W, lam, alpha, beta, key,
+                         num_samples: int, rank_tol: float,
+                         range_clip_min):
+    """Logit samples from the per-image predictive statistics.
+
+    With ``a = J ε`` and ``c = (J Rᵀ) V diag(g) Vᵀ (R ε)``,
+    ``logits − f0 = a/√α + c`` EXACTLY reproduces the weight-space draw
+    ``J S^{-1/2} ε`` (same g-form spectral factor, ``inference/sample.py``).
+    Per image, ``(a, c)`` is a 2K-dim Gaussian whose blocks need only
+    ``JJᵀ`` and ``W = (J Rᵀ) V``:
+
+        cov(a)    = JJᵀ
+        cov(a, c) = W diag(g)    Wᵀ
+        cov(c)    = W diag(g²·λ) Wᵀ
+
+    so sampling is a per-image 2K×2K Cholesky — no D-sized work at all.
+    The prior/correction cancellation along stiff directions happens in
+    K-dim SAMPLE space (an addition of two correlated draws), so there is
+    no matmul-precision amplification hazard (cf. the bf16 postmortem in
+    ``_amortized_logit_samples``). Images draw independently, which leaves
+    every per-image marginal — hence NLL/ACC/Brier/ECE/AUROC — identical
+    in distribution to the shared-ε weight-space path."""
+    K = f0.shape[-1]
+    g = _g_weights(lam, alpha, beta, rank_tol, range_clip_min)
+    Cac = jnp.einsum("bkd,d,bld->bkl", W, g, W,
+                     precision=jax.lax.Precision.HIGHEST)
+    Ccc = jnp.einsum("bkd,d,bld->bkl", W, g * g * lam, W,
+                     precision=jax.lax.Precision.HIGHEST)
+    top = jnp.concatenate([JJt, Cac], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(Cac, -1, -2), Ccc], axis=-1)
+    joint = jnp.concatenate([top, bot], axis=-2)              # (B, 2K, 2K)
+    # PSD by construction (Gram of [J; g-weighted projections]); jitter
+    # clears f32 round-off for the Cholesky at exact rank deficiency
+    tr = jnp.trace(joint, axis1=-2, axis2=-1)[:, None, None]
+    eye = jnp.eye(2 * K, dtype=joint.dtype)
+    L = jnp.linalg.cholesky(joint + 1e-6 * tr / (2 * K) * eye)
+    eps = jax.random.normal(key, (num_samples,) + f0.shape[:-1] + (2 * K,))
+    draws = jnp.einsum("bij,sbj->sbi", L, eps)
+    a, c = draws[..., :K], draws[..., K:]
+    return f0[None] + a / jnp.sqrt(alpha) + c                 # (S, B, K)
+
+
 class ScalableLLAPredictor:
     """Amortized IP-LLA predictive for a fixed ``(state, Z)``.
 
@@ -192,6 +241,18 @@ class ScalableLLAPredictor:
     (the natural data-parallel decomposition of MC prediction). Values are
     identical to the single-device path (sharding changes layout, not
     math); pinned by ``tests/test_sharding.py``.
+
+    ``method="cov"`` replaces the per-sample jvp push-forward (95% of
+    flagship eval time, RESULTS.md) with the per-image predictive
+    sufficient statistics ``(f0, JJᵀ, (J Rᵀ)V)`` — K backward passes per
+    image instead of one jvp per MC sample, then samples come from a
+    per-image 2K×2K Gaussian with the SAME distribution as the
+    weight-space draw (``_joint_logit_samples``). The statistics are
+    α-independent; pass ``cache_key`` (e.g. the batch index) to reuse them
+    across repetitions and α grid points at zero marginal Jacobian cost.
+    The reference computes this covariance form only in its dense D×D path
+    (``/root/reference/src/lla.py:51-82``); here the Gram spectral factor
+    makes it the scalable one.
     """
 
     def __init__(self, state: Any, Z: jnp.ndarray, *,
@@ -201,13 +262,20 @@ class ScalableLLAPredictor:
                  range_clip_min: Optional[float] = None,
                  sample_block: Optional[int] = None,
                  mesh: Optional[jax.sharding.Mesh] = None,
-                 mesh_axis: str = "data"):
+                 mesh_axis: str = "data",
+                 method: str = "weight",
+                 jac_block: Optional[int] = None):
         M = Z.shape[0]
+        if method not in ("weight", "cov"):
+            raise ValueError(f"unknown predictive method {method!r}")
         self.state = state
         self.beta = float(full_set_size or M) / M
         self.rank_tol = rank_tol
         self.range_clip_min = range_clip_min
         self.sample_block = sample_block
+        self.method = method
+        self.jac_block = jac_block
+        self._stats_cache: dict = {}
         self.R = ops.dense_wt(state, Z, example_block=example_block)
         gram = syrk(self.R)
         self.lam, self.V = jnp.linalg.eigh(
@@ -222,9 +290,24 @@ class ScalableLLAPredictor:
             self.state = jax.device_put(self.state, repl)
             self.sample_sharding = NamedSharding(mesh, P(mesh_axis))
 
+    def batch_stats(self, x: jnp.ndarray, cache_key=None):
+        """α-independent per-image stats for ``method="cov"`` (cached)."""
+        if cache_key is not None and cache_key in self._stats_cache:
+            return self._stats_cache[cache_key]
+        stats = _jitted_jac_stats(self.state, jnp.asarray(x, jnp.float32),
+                                  self.R, self.V, self.jac_block)
+        if cache_key is not None:
+            self._stats_cache[cache_key] = stats
+        return stats
+
     def logit_samples(self, x: jnp.ndarray, alpha, key: jax.Array,
-                      num_samples: int) -> jnp.ndarray:
+                      num_samples: int, cache_key=None) -> jnp.ndarray:
         """(num_samples, B, K) predictive logit samples for one batch."""
+        if self.method == "cov":
+            f0, JJt, W = self.batch_stats(x, cache_key)
+            return _joint_logit_samples(
+                f0, JJt, W, self.lam, alpha, self.beta, key, num_samples,
+                self.rank_tol, self.range_clip_min)
         return _amortized_logit_samples(
             self.state, self.R, self.lam, self.V, alpha, self.beta,
             jnp.asarray(x, dtype=jnp.float32), key, num_samples,

@@ -123,3 +123,82 @@ def test_sample_block_chunking_statistics_and_shape():
                                     sample_block=512)
     big = np.asarray(pred_big.logit_samples(x[:10], alpha, key, S))
     np.testing.assert_array_equal(big, full)
+
+
+def test_cov_method_matches_dense_predictive_covariance():
+    """method="cov"'s analytic per-image moments must equal the dense twin
+    J S^{-1} J^T exactly (f32): the 2K-joint construction is the same
+    distribution as the weight-space draw, marginalized per image."""
+    from laplace_inducing_points_tpu.core import operators as ops
+    from laplace_inducing_points_tpu.inference.lla import (
+        _joint_logit_samples)
+
+    _, state, (x, _) = classifier_state()
+    Z, xt = x[:6], x[:5]
+    alpha, full = 0.3, 32.0
+    beta = full / Z.shape[0]
+
+    pred = ScalableLLAPredictor(state, Z, full_set_size=32, method="cov")
+    f0, JJt, W = pred.batch_stats(xt)
+    K = f0.shape[-1]
+
+    # analytic covariance of a/sqrt(alpha) + c from the joint blocks
+    lam = pred.lam
+    mask = lam > 1e-7 * jnp.maximum(jnp.max(lam), 1.0)
+    lam_safe = jnp.where(mask, lam, 1.0)
+    g = jnp.where(mask,
+                  (1 / jnp.sqrt(alpha + beta * lam_safe)
+                   - 1 / jnp.sqrt(alpha)) / lam_safe, 0.0)
+    Cac = jnp.einsum("bkd,d,bld->bkl", W, g, W)
+    Ccc = jnp.einsum("bkd,d,bld->bkl", W, g * g * lam, W)
+    Sigma = JJt / alpha + 2 / jnp.sqrt(alpha) * Cac + Ccc
+
+    # dense twin: J S^{-1} J^T through the D x D curvature
+    S_dense = ops.curvature_dense(state, Z, alpha, full_set_size=32)
+    S_inv = jnp.linalg.inv(S_dense)
+    lin = ops.linearize_model(state, xt)
+    J = jax.vmap(lambda xi: jax.jacrev(
+        lambda p: lin.f_single(p, xi))(lin.flat_params))(xt)   # (B, K, D)
+    Sigma_dense = jnp.einsum("bkd,de,ble->bkl", J, S_inv, J)
+
+    np.testing.assert_allclose(np.asarray(Sigma), np.asarray(Sigma_dense),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(lin.f0),
+                               rtol=1e-6, atol=1e-6)
+
+    # sample moments: cov method vs weight method, large-S MC agreement
+    key = jax.random.PRNGKey(3)
+    S_mc = 4096
+    cov_s = np.asarray(pred.logit_samples(xt, alpha, key, S_mc))
+    w_pred = ScalableLLAPredictor(state, Z, full_set_size=32)
+    wt_s = np.asarray(w_pred.logit_samples(xt, alpha, key, S_mc))
+    tol = 6.0 * np.maximum(cov_s.std(0), wt_s.std(0)) / np.sqrt(S_mc) + 1e-3
+    assert np.all(np.abs(cov_s.mean(0) - wt_s.mean(0)) <= tol)
+    np.testing.assert_allclose(cov_s.std(0), wt_s.std(0), rtol=0.15,
+                               atol=5e-3)
+
+
+def test_cov_method_cache_and_harness_integration():
+    """cache_key reuse must be exact, jac_block must not change values, and
+    the eval harness must run end-to-end with a cov predictor."""
+    _, state, (x, y) = classifier_state()
+    Z = x[:6]
+    pred = ScalableLLAPredictor(state, Z, full_set_size=32, method="cov",
+                                jac_block=3)
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(pred.logit_samples(x[:7], 0.5, key, 8, cache_key=("t", 0)))
+    assert ("t", 0) in pred._stats_cache
+    b = np.asarray(pred.logit_samples(x[:7], 0.5, key, 8, cache_key=("t", 0)))
+    np.testing.assert_array_equal(a, b)
+
+    nob = ScalableLLAPredictor(state, Z, full_set_size=32, method="cov")
+    c = np.asarray(nob.logit_samples(x[:7], 0.5, key, 8))
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+    loader = DataLoader(ArrayDataset(x, y), batch_size=8, shuffle=False,
+                        drop_last=False)
+    nll, acc = eval_dataset(state, loader, Z, alpha=0.5, full_set_size=32,
+                            num_mc_samples=16, rng=jax.random.PRNGKey(1),
+                            predictor=pred)
+    assert np.isfinite(nll) and 0.0 <= acc <= 1.0
+    assert any(k[0] == "eval" for k in pred._stats_cache)

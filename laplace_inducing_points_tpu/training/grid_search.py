@@ -22,11 +22,16 @@ def grid_search_alpha(state, Z0, val_loader: Iterable, *,
                       n_coarse: int = 7, refine: bool = True,
                       rng_key: int = 0, verbose: bool = True,
                       eval_fn: Optional[Callable] = None,
-                      range_clip_min: Optional[float] = None) -> float:
+                      range_clip_min: Optional[float] = None,
+                      predictive: str = "weight",
+                      jac_block: Optional[int] = None) -> float:
     """Return the α minimizing validation NLL of the IP-LLA predictive.
 
     ``eval_fn(state, loader, Z, alpha, full_set_size, num_mc_samples, rng)
     -> (nll, acc)`` defaults to the framework's evaluation harness.
+    ``predictive="cov"`` additionally reuses the α-independent per-image
+    Jacobian statistics across EVERY grid point (the whole sweep then costs
+    one statistics pass plus trivial per-α sampling).
     """
     if eval_fn is None:
         from laplace_inducing_points_tpu.evaluation.harness import eval_dataset
@@ -38,7 +43,9 @@ def grid_search_alpha(state, Z0, val_loader: Iterable, *,
         # traced inside the predictor's jitted step — one executable total)
         predictor = ScalableLLAPredictor(state, Z0,
                                          full_set_size=full_set_size,
-                                         range_clip_min=range_clip_min)
+                                         range_clip_min=range_clip_min,
+                                         method=predictive,
+                                         jac_block=jac_block)
 
         def eval_fn(state, loader, Z, alpha, full_set_size, num_mc_samples,
                     rng):

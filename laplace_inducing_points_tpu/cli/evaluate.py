@@ -157,6 +157,12 @@ def main(argv=None):
                      else sampling_cfg.get("jac_block"))
         if predictive != "weight":
             print(f"[predictor] predictive method: {predictive}")
+            if mesh is not None or sample_block:
+                print("[predictor] NOTE: --mesh/sample_block apply only to "
+                      "the weight-space push-forward; the cov path runs "
+                      "replicated (its per-sample cost is a 2K x 2K matvec "
+                      "— there is nothing worth sharding)")
+                mesh = None
         predictor = ScalableLLAPredictor(state, Z,
                                          full_set_size=full_set_size,
                                          example_block=example_block,

@@ -30,6 +30,7 @@ from laplace_inducing_points_tpu.training.inducing import train_inducing_points
 from laplace_inducing_points_tpu.training.map import cosine_lr, train_map
 from laplace_inducing_points_tpu.utils.checkpoint import (load_train_state,
                                                           save_array,
+                                                          save_run_meta,
                                                           save_train_state)
 from laplace_inducing_points_tpu.utils.config import load_experiment_config
 
@@ -56,6 +57,13 @@ def build_parser():
     p.add_argument("--data_dir", default="data/")
     p.add_argument("--no-mesh", action="store_true",
                    help="disable data-parallel sharding")
+    p.add_argument("--range_clip", type=float, default=1.0,
+                   help="clip min for (alpha + beta*lam) inside the "
+                        "posterior inverse sqrt during the alpha grid "
+                        "search — MUST match cli.evaluate's setting so the "
+                        "selected alpha is optimal for the posterior "
+                        "actually evaluated; 1.0 is both CLIs' default "
+                        "(reference monkeypatch parity); <=0 disables")
     return p
 
 
@@ -84,9 +92,13 @@ def main(argv=None):
     dummy = jnp.asarray(next(iter(train_loader))[0][:1], dtype=jnp.float32)
     # schedule over the steps the loader actually yields (full_set_size is
     # the beta-recalibration N, which may differ from the loaded dataset —
-    # e.g. the offline surrogate is smaller than the real full set)
-    steps_per_epoch = math.ceil(len(train_loader.dataset)
-                                / map_cfg["batch_size"])
+    # e.g. the offline surrogate is smaller than the real full set; and the
+    # train loader drops its tail batch, so ask the loader, don't recompute)
+    try:
+        steps_per_epoch = len(train_loader)
+    except TypeError:
+        steps_per_epoch = math.ceil(len(train_loader.dataset)
+                                    / map_cfg["batch_size"])
     if map_cfg.get("schedule", "cosine") == "cosine":
         lr = cosine_lr(map_cfg["lr"], map_cfg["epochs"], steps_per_epoch)
     else:
@@ -136,11 +148,17 @@ def main(argv=None):
                                       aug=False, root=args.data_dir)
 
     alpha_ip = args.alpha_ip if args.alpha_ip is not None else evidence_alpha
+    alpha_src = "cli" if args.alpha_ip is not None else "evidence"
     if alpha_ip is None:
+        range_clip = args.range_clip if args.range_clip > 0 else None
+        sampling_cfg = cfg.get("sampling", {})
         alpha_ip = grid_search_alpha(
             state, z_init, val_loader, full_set_size=full_set_size,
             num_mc_samples=ip_cfg["mc_samples"], log10_min=1.0,
-            log10_max=3.0, n_coarse=8)
+            log10_max=3.0, n_coarse=8, range_clip_min=range_clip,
+            predictive=sampling_cfg.get("predictive", "weight"),
+            jac_block=sampling_cfg.get("jac_block"))
+        alpha_src = "grid"
 
     objective = args.objective or ip_cfg.get("objective", "gram")
     Z = train_inducing_points(
@@ -153,7 +171,14 @@ def main(argv=None):
         slq_num_matvecs=ip_cfg["slq_num_matvecs"],
         example_block=ip_cfg.get("example_block"))
     save_array(Z, args.ckpt_induc, f"ind_{args.dataset}", ip_cfg["epochs"])
-    print("[DONE] Inducing training.")
+    # record the alpha this Z was trained for, so cli.evaluate's
+    # "pipeline meta" precedence reproduces the operating point without a
+    # hand-passed --alpha_ip (parity with main_toy's meta record)
+    save_run_meta(args.ckpt_induc, f"ind_{args.dataset}",
+                  {"alpha_ip": float(alpha_ip), "alpha_src": alpha_src,
+                   "objective": objective})
+    print(f"[DONE] Inducing training (alpha_ip={alpha_ip:.5g}, "
+          f"{alpha_src}).")
 
 
 if __name__ == "__main__":

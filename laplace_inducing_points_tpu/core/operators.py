@@ -42,33 +42,20 @@ from laplace_inducing_points_tpu.core.params import flatten_nn_params, split_nn_
 
 
 def pdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full-precision matmul for small curvature/Gram algebra.
+    """Full-precision matmul for Gram/posterior algebra AND every
+    posterior-SAMPLE contraction.
 
-    JAX's default matmul precision may run reduced-precision passes (bf16 on
-    TPU MXU); Gram matrices and posterior solves are tiny, so always pay for
-    exact f32 accumulation there.
+    JAX's default matmul precision may run reduced-precision passes (bf16
+    on the TPU MXU). Grams and posterior solves feed Cholesky/eigh; sample
+    contractions cancel the prior draw along high-curvature directions, so
+    any relative contraction error re-enters the pushed-forward samples
+    amplified by ~√λ_max (bf16's ~1e-2 flipped flagship CIFAR accuracy
+    100%→84% — postmortem in ``inference/lla.py``). Only TRACE-ESTIMATOR
+    sweeps, where error enters linearly and sits far below 1/√P
+    statistical noise, may run at DEFAULT precision — that path lives in
+    ``ops.pallas.matmul.ggn_sweep``.
     """
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
-
-
-def sdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Large TRACE-ESTIMATOR contraction over the parameter axis.
-
-    DEFAULT matmul precision: bf16 multiplies with f32 accumulation on the
-    TPU MXU — measured at the HBM roofline for the framework's (P, D)×(D, d)
-    sweep shapes, 6.6× the HIGHEST 6-pass path, with ~3e-4 relative error.
-    Bit-exact f32 on CPU, so dense-twin tests are unaffected.
-
-    Scope — estimator sweeps ONLY, where errors enter the estimate
-    linearly and sit far below the ~1/√P statistical noise. Do NOT use for
-    posterior-SAMPLE contractions (``inference/sample.py``, ``lla.py``):
-    there the low-rank correction cancels the prior draw along
-    high-curvature directions and contraction error re-enters the
-    pushed-forward samples amplified by ~√λ_max — bf16 flipped flagship
-    CIFAR accuracy 100%→84% at λ_max≈2e5. Use ``pdot`` there and for all
-    small Gram/posterior algebra (conventions in CLAUDE.md).
-    """
-    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
 def model_outputs(state: Any, params: Any, x: jnp.ndarray,

@@ -172,17 +172,24 @@ def ensure_toy_npz(name: str, data_dir: str = "data", n: int = 512,
     otherwise a stale file from an older config would silently win forever.
     """
     path = os.path.join(data_dir, f"{name}.npz")
+    # generator kwargs (e.g. split_in_middle) are part of the dataset's
+    # identity and must participate in the freshness check; they are stored
+    # as a single canonical string because npz holds arrays, not dicts
+    kwargs_repr = repr(sorted(kwargs.items()))
     if os.path.exists(path):
         d = np.load(path)
         fresh = all(k in d and float(d[k]) == float(v)
                     for k, v in dict(n=n, noise=noise, seed=seed).items())
+        fresh = fresh and "gen_kwargs" in d \
+            and str(d["gen_kwargs"]) == kwargs_repr
         if fresh:
             return path
         print(f"[data] {path} has different generation params — regenerating "
-              f"(n={n}, noise={noise}, seed={seed})")
+              f"(n={n}, noise={noise}, seed={seed}, kwargs={kwargs_repr})")
     x, y = create_dataset(name, n, jax.random.PRNGKey(seed), noise=noise,
                           **kwargs)
-    save_dataset(x, y, path, n=n, noise=noise, seed=seed)
+    save_dataset(x, y, path, n=n, noise=noise, seed=seed,
+                 gen_kwargs=np.asarray(kwargs_repr))
     return path
 
 

@@ -89,19 +89,25 @@ def eval_dataset(state, loader: Iterable, Z, *, alpha, full_set_size,
         predictor=predictor, example_block=example_block,
         range_clip_min=range_clip_min, sample_block=sample_block)
     tot_nll = tot_acc = tot_n = 0.0
+    is_regressor = state.model_kind == "regressor"
     for i, (x, y) in enumerate(loader):
         rng, sub = jax.random.split(rng)
-        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub, ("eval", i))
+        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub,
+                         ("eval", id(loader), i))
         nll, acc, _ = _batch_metrics(state, logits, y)
         bs = x.shape[0]
         tot_nll += float(nll) * bs
-        tot_acc += float(acc) * bs
+        # the regressor's 'acc' slot is a per-batch RMSE: aggregate the
+        # MSE (sum of squares), not the RMSEs, or the dataset value is
+        # biased low under heterogeneous batch errors
+        tot_acc += (float(acc) ** 2 if is_regressor else float(acc)) * bs
         tot_n += bs
         if verbose:
             print(f"  [eval] NLL={float(nll):.3f} ACC={float(acc):.3f}")
     if tot_n == 0:
         raise ValueError("eval_dataset: loader yielded no batches")
-    return tot_nll / tot_n, tot_acc / tot_n
+    score = tot_acc / tot_n
+    return tot_nll / tot_n, (score ** 0.5 if is_regressor else score)
 
 
 def eval_dataset_extended(state, loader: Iterable, Z, *, alpha, full_set_size,
@@ -129,11 +135,13 @@ def eval_dataset_extended(state, loader: Iterable, Z, *, alpha, full_set_size,
     is_regressor = state.model_kind == "regressor"
     for i, (x, y) in enumerate(loader):
         rng, sub = jax.random.split(rng)
-        out = sampler(jnp.asarray(x, dtype=jnp.float32), sub, ("eval", i))
+        out = sampler(jnp.asarray(x, dtype=jnp.float32), sub,
+                      ("eval", id(loader), i))
         nll, acc, mean_probs = _batch_metrics(state, out, y)
         bs = x.shape[0]
         tot_nll += float(nll) * bs
-        tot_acc += float(acc) * bs
+        # regressor 'acc' slot is a per-batch RMSE — aggregate the MSE
+        tot_acc += (float(acc) ** 2 if is_regressor else float(acc)) * bs
         tot_n += bs
         if is_regressor:
             mu = jnp.mean(out, axis=0).reshape(bs)          # (B,)
@@ -156,7 +164,7 @@ def eval_dataset_extended(state, loader: Iterable, Z, *, alpha, full_set_size,
     labels = np.concatenate(all_labels)
     if is_regressor:
         picp = covered / tot_n
-        return {"nll": tot_nll / tot_n, "rmse": tot_acc / tot_n,
+        return {"nll": tot_nll / tot_n, "rmse": (tot_acc / tot_n) ** 0.5,
                 "picp90": picp, "picp_err": abs(picp - 0.9),
                 "means": flat, "targets": labels}
     return {"nll": tot_nll / tot_n, "acc": tot_acc / tot_n,
@@ -181,7 +189,8 @@ def auroc_ood(state, id_probs: np.ndarray, ood_loader: Iterable, Z, *,
     ood_probs = []
     for i, (x, _) in enumerate(ood_loader):
         rng, sub = jax.random.split(rng)
-        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub, ("ood", i))
+        logits = sampler(jnp.asarray(x, dtype=jnp.float32), sub,
+                         ("ood", id(ood_loader), i))
         _, _, mean_probs = metrics.mc_predictive_nll_acc(
             logits, jnp.zeros(x.shape[0], dtype=jnp.int32))
         ood_probs.append(np.asarray(mean_probs))

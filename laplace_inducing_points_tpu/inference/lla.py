@@ -291,13 +291,22 @@ class ScalableLLAPredictor:
             self.sample_sharding = NamedSharding(mesh, P(mesh_axis))
 
     def batch_stats(self, x: jnp.ndarray, cache_key=None):
-        """α-independent per-image stats for ``method="cov"`` (cached)."""
+        """α-independent per-image stats for ``method="cov"`` (cached).
+
+        ``cache_key`` must uniquely identify the batch CONTENT among all
+        callers sharing this predictor — the evaluation harness namespaces
+        its keys by loader identity and batch index. A shape guard catches
+        accidental key collisions between differently-shaped batches;
+        same-shape collisions are the caller's contract to avoid.
+        """
         if cache_key is not None and cache_key in self._stats_cache:
-            return self._stats_cache[cache_key]
+            shape, stats = self._stats_cache[cache_key]
+            if shape == x.shape:
+                return stats
         stats = _jitted_jac_stats(self.state, jnp.asarray(x, jnp.float32),
                                   self.R, self.V, self.jac_block)
         if cache_key is not None:
-            self._stats_cache[cache_key] = stats
+            self._stats_cache[cache_key] = (tuple(x.shape), stats)
         return stats
 
     def logit_samples(self, x: jnp.ndarray, alpha, key: jax.Array,

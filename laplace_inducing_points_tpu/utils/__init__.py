@@ -3,6 +3,23 @@
 import jax.numpy as jnp
 
 
+def host_cpu_fingerprint() -> str:
+    """Short fingerprint of the host CPU's visible ISA feature set.
+
+    XLA:CPU persistent-cache entries are AOT-compiled against the compiling
+    host's ISA extensions, and this VM's feature set varies across boots —
+    loading a foreign entry risks SIGILL. Every CPU compile-cache directory
+    is keyed by this value (here, tests/conftest.py, __graft_entry__).
+    """
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        return "nofp"
+
+
 def is_pd(mat, tol: float = 1e-9) -> bool:
     """All eigenvalues >= tol (parity: /root/reference/src/utils.py:9)."""
     return bool(jnp.all(jnp.linalg.eigvalsh(0.5 * (mat + mat.T)) >= tol))
@@ -19,7 +36,6 @@ def setup_compile_cache(path: str | None = None) -> None:
     host's ISA and this VM's visible feature set varies across boots
     (loading a foreign entry risks SIGILL).
     """
-    import hashlib
     import os
 
     import jax
@@ -29,13 +45,7 @@ def setup_compile_cache(path: str | None = None) -> None:
         backend = backend.split(",")[0]
         path = f"/tmp/jax_cache_{backend}"
         if backend == "cpu":
-            try:
-                with open("/proc/cpuinfo") as f:
-                    flags = next(
-                        (ln for ln in f if ln.startswith("flags")), "")
-                path += "_" + hashlib.sha1(flags.encode()).hexdigest()[:10]
-            except OSError:
-                pass
+            path += "_" + host_cpu_fingerprint()
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -8,7 +8,6 @@ sharding tests, so if the axon plugin got registered at interpreter start we
 re-exec pytest once with it disabled.
 """
 
-import hashlib
 import os
 import sys
 
@@ -26,22 +25,13 @@ if "concurrency_optimized_scheduler" not in _flags:
 os.environ["XLA_FLAGS"] = _flags
 
 # persistent compile cache: makes re-runs near-instant even on one core.
-# Keyed by a host-CPU-feature fingerprint — XLA:CPU cache entries are
-# AOT-compiled against the compiling host's ISA, and this VM's visible
-# feature set varies across boots (loading a foreign entry risks SIGILL).
+# Keyed by the host-CPU-feature fingerprint (SIGILL hazard rationale in
+# laplace_inducing_points_tpu.utils.host_cpu_fingerprint).
 import jax  # noqa: E402
 
-
-def _cpu_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-        return hashlib.sha1(flags.encode()).hexdigest()[:10]
-    except OSError:
-        return "nofp"
-
+from laplace_inducing_points_tpu.utils import host_cpu_fingerprint  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_cache_cpu_{_cpu_fingerprint()}")
+                  f"/tmp/jax_cache_cpu_{host_cpu_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -122,7 +122,21 @@ def _n_long():
 
 def slope_time(sweep, V0, *consts, n_reps: int = 4):
     """Device time per op: sweep maps (V, *consts) -> array shaped like V;
-    iterations are chained through the carry so they serialize."""
+    iterations are chained through the carry so they serialize.
+
+    On CPU (watchdog fallback) there is no dispatch latency to difference
+    out, so plain per-call timing with a couple of reps is both sufficient
+    and ~n_long× cheaper — the chained scans would take tens of minutes."""
+    if jax.devices()[0].platform == "cpu":
+        fn = jax.jit(lambda v, *c: jnp.sum(sweep(v, *c)))
+        float(np.asarray(fn(V0, *consts)))                # compile + warm
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(np.asarray(fn(V0, *consts)))
+            best = min(best, time.perf_counter() - t0)
+        return best, best
+
     n_long = _n_long()
 
     @partial(jax.jit, static_argnames=("n",))

@@ -87,6 +87,9 @@ def build_parser():
                         "over all local devices (data-parallel evaluation; "
                         "no-op on one device)")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--max_batches", type=int, default=None,
+                   help="evaluate only the first N test batches (smoke "
+                        "runs / CI; metrics then cover a subset)")
     p.add_argument("--out_json", default=None,
                    help="append per-repetition metrics as JSON lines")
     p.add_argument("--data_dir", default="data/")
@@ -173,6 +176,18 @@ def main(argv=None):
                                          jac_block=jac_block)
         jax.block_until_ready(predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")
+
+    if args.max_batches:
+        class _Limited:
+            """First-N-batches view; a stable object so the cov predictor's
+            loader-identity cache keys persist across repetitions."""
+            def __init__(self, loader, n):
+                self.loader, self.n = loader, n
+            def __iter__(self):
+                import itertools
+                return itertools.islice(iter(self.loader), self.n)
+        test_loader = _Limited(test_loader, args.max_batches)
+        print(f"[eval] limited to first {args.max_batches} test batches")
 
     rng = jax.random.PRNGKey(155858)
     for i in range(args.iters):

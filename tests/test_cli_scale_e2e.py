@@ -61,7 +61,7 @@ def test_train_scale_then_evaluate_roundtrip(micro_scale_config, tmp_path,
     # evaluate must pick the pipeline alpha, NOT the config's MAP prior
     evaluate.main([
         "--dataset", "mnist", "--config", micro_scale_config,
-        "--scalable", "--iters", "1",
+        "--scalable", "--iters", "1", "--max_batches", "1",
         "--ckpt_map", str(tmp_path / "ckpt_map"),
         "--ckpt_induc", str(tmp_path / "ckpt_ind"),
         "--data_dir", str(tmp_path / "data"),

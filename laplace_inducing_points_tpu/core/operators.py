@@ -258,24 +258,23 @@ def dense_wt(state: Any, Z: jnp.ndarray, *, scale: jnp.ndarray | float = 1.0,
     return scale * R.reshape(-1, flat.shape[0])
 
 
-def predictive_jac_stats(state: Any, x: jnp.ndarray, R: jnp.ndarray,
-                         V: jnp.ndarray, *,
+def predictive_jac_stats(state: Any, x: jnp.ndarray, R: jnp.ndarray, *,
                          jac_block: Optional[int] = None,
                          lin: Optional[Linearization] = None):
-    """Per-image predictive sufficient statistics ``(f0, JJᵀ, (J Rᵀ) V)``.
+    """Per-image predictive sufficient statistics ``(f0, JJᵀ, J Rᵀ)``.
 
     The IP-LLA predictive at one input depends on its Jacobian ``J (K, D)``
     only through the two small projections ``J Jᵀ (K, K)`` and
-    ``(J Rᵀ) V (K, d_z)`` — everything else in
-    ``logits − f0 = J S^{-1/2} ε`` lives in the spectral basis of the Gram.
-    Building them costs K backward passes per image (vs one jvp per MC
-    sample in the weight-space push-forward: for K ≪ S this is the cheap
-    side of the predictive), and both are α-INDEPENDENT, so α grid
-    searches and repeated evaluations reuse them for free.
+    ``A = J Rᵀ (K, d_z)`` — everything else in ``Σ = J S⁻¹ Jᵀ`` lives in
+    the ``d_z``-dim Gram algebra. Building them costs K backward passes per
+    image (vs one jvp per MC sample in the weight-space push-forward: for
+    K ≪ S this is the cheap side of the predictive), and both are
+    α-INDEPENDENT, so α grid searches and repeated evaluations reuse them
+    for free.
 
     ``jac_block`` chunks the image axis through ``lax.map`` so only
     ``(block, K, D)`` Jacobian rows are alive at once (ResNet-scale D).
-    Returns ``(f0 (B, K), JJt (B, K, K), W (B, K, d_z))``.
+    Returns ``(f0 (B, K), JJt (B, K, K), A (B, K, d_z))``.
     """
     lin = lin or linearize_model(state, x)
     flat = lin.flat_params
@@ -294,8 +293,7 @@ def predictive_jac_stats(state: Any, x: jnp.ndarray, R: jnp.ndarray,
         JJt, A = jax.lax.map(lambda c: jax.vmap(per_image)(c), chunks)
         JJt = JJt.reshape(-1, *JJt.shape[2:])[:B]
         A = A.reshape(-1, *A.shape[2:])[:B]
-    W = jax.vmap(lambda a: pdot(a, V))(A)                     # (B, K, d_z)
-    return lin.f0, JJt, W
+    return lin.f0, JJt, A
 
 
 # ---------------------------------------------------------------------------

@@ -175,52 +175,85 @@ def _amortized_logit_samples(state, R, lam, V, alpha, beta, x, key,
 
 
 @partial(jax.jit, static_argnames=("jac_block",))
-def _jitted_jac_stats(state, x, R, V, jac_block):
-    return ops.predictive_jac_stats(state, x, R, V, jac_block=jac_block)
+def _jitted_jac_stats(state, x, R, jac_block):
+    return ops.predictive_jac_stats(state, x, R, jac_block=jac_block)
 
 
 @partial(jax.jit, static_argnames=("num_samples", "rank_tol",
-                                   "range_clip_min"))
-def _joint_logit_samples(f0, JJt, W, lam, alpha, beta, key,
+                                   "range_clip_min", "use_woodbury"))
+def _joint_logit_samples(f0, JJt, A, gram, lam, V, alpha, beta, key,
                          num_samples: int, rank_tol: float,
-                         range_clip_min):
+                         range_clip_min, use_woodbury: bool):
     """Logit samples from the per-image predictive statistics.
 
-    With ``a = J ε`` and ``c = (J Rᵀ) V diag(g) Vᵀ (R ε)``,
-    ``logits − f0 = a/√α + c`` EXACTLY reproduces the weight-space draw
-    ``J S^{-1/2} ε`` (same g-form spectral factor, ``inference/sample.py``).
-    Per image, ``(a, c)`` is a 2K-dim Gaussian whose blocks need only
-    ``JJᵀ`` and ``W = (J Rᵀ) V``:
+    Per image the predictive is the K-dim Gaussian ``N(f0, Σ)`` with
+    ``Σ = J S⁻¹ Jᵀ``, assembled from ``A = J Rᵀ`` in one of two ways:
 
-        cov(a)    = JJᵀ
-        cov(a, c) = W diag(g)    Wᵀ
-        cov(c)    = W diag(g²·λ) Wᵀ
+    * ``use_woodbury=True`` (exact inverse — valid whenever the range clip
+      cannot activate because α ≥ clip; both scale operating points):
 
-    so sampling is a per-image 2K×2K Cholesky — no D-sized work at all.
-    The prior/correction cancellation along stiff directions happens in
-    K-dim SAMPLE space (an addition of two correlated draws), so there is
-    no matmul-precision amplification hazard (cf. the bf16 postmortem in
-    ``_amortized_logit_samples``). Images draw independently, which leaves
-    every per-image marginal — hence NLL/ACC/Brier/ECE/AUROC — identical
-    in distribution to the shared-ε weight-space path."""
-    K = f0.shape[-1]
-    g = _g_weights(lam, alpha, beta, rank_tol, range_clip_min)
-    Cac = jnp.einsum("bkd,d,bld->bkl", W, g, W,
-                     precision=jax.lax.Precision.HIGHEST)
-    Ccc = jnp.einsum("bkd,d,bld->bkl", W, g * g * lam, W,
-                     precision=jax.lax.Precision.HIGHEST)
-    top = jnp.concatenate([JJt, Cac], axis=-1)
-    bot = jnp.concatenate([jnp.swapaxes(Cac, -1, -2), Ccc], axis=-1)
-    joint = jnp.concatenate([top, bot], axis=-2)              # (B, 2K, 2K)
-    # PSD by construction (Gram of [J; g-weighted projections]); jitter
-    # clears f32 round-off for the Cholesky at exact rank deficiency
-    tr = jnp.trace(joint, axis1=-2, axis2=-1)[:, None, None]
-    eye = jnp.eye(2 * K, dtype=joint.dtype)
-    L = jnp.linalg.cholesky(joint + 1e-6 * tr / (2 * K) * eye)
-    eps = jax.random.normal(key, (num_samples,) + f0.shape[:-1] + (2 * K,))
-    draws = jnp.einsum("bij,sbj->sbi", L, eps)
-    a, c = draws[..., :K], draws[..., K:]
-    return f0[None] + a / jnp.sqrt(alpha) + c                 # (S, B, K)
+          Σ = (1/α)·[JJᵀ − β A (αI + β Gzz)⁻¹ Aᵀ]
+
+      via one d_z Cholesky solve — NO spectral reconstruction. This is
+      the numerically sound form: the f32 eigh of a Gram whose spectrum
+      spans 5+ decades (LeNet: λ ∈ [~0, 6.3e4], 764/1000 eigenvalues
+      below tolerance) reconstructs S⁻¹ with O(1) errors — measured
+      NEGATIVE predictive variances down to −170 where a CG oracle gives
+      ~10, which silently shrank the predictive (ACC 95.5%→98.5% on
+      LeNet/MNIST) before the oracle exposed it.
+    * ``use_woodbury=False`` (clip-active regime, α < clip — the toy
+      parity configs: small d_z, mild spectra, eigh is accurate there):
+
+          Σ = JJᵀ/α + (A V) diag(q) (A V)ᵀ,
+          q(λ) = (1/max(α+βλ, clip) − 1/α)/λ
+
+      (q is the squared g-form of ``inference/sample.py`` — bounded as
+      λ→0 when the clip is inactive).
+
+    Σ is symmetrized and sampled through a per-image K×K eigh with
+    eigenvalues clipped at 0. A 2K×2K joint of (prior, correction) draws
+    was tried and rejected — near-singular along stiff directions, its
+    f32 Cholesky NaN'd — as was a range/null factor split, whose
+    ``JJᵀ − W Λ⁻¹ Wᵀ`` amplifies round-off by 1/λ (ACC 95.7%→80.7%).
+    Images draw independently, which leaves every per-image marginal —
+    hence NLL/ACC/Brier/ECE/AUROC — identical in distribution to the
+    shared-ε weight-space path (tested against the dense twin, the weight
+    path, and a matrix-free CG oracle)."""
+    B, K = f0.shape
+    d_z = gram.shape[0]
+    if use_woodbury:
+        C = alpha * jnp.eye(d_z, dtype=gram.dtype) + beta * gram
+        # C is α-regularized; a small relative jitter (capped so it cannot
+        # bias the α-level eigenvalues) guards the f32 pivot band at the
+        # large spectral spread
+        rowsum = jnp.max(jnp.sum(jnp.abs(C), axis=1))
+        jitter = jnp.minimum(2e-7 * rowsum, 0.05 * alpha)
+        L_c = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
+                                  + jitter * jnp.eye(d_z, dtype=gram.dtype))
+        Af = A.reshape(B * K, d_z)
+        sol = jax.scipy.linalg.cho_solve((L_c, True), Af.T)    # (d_z, B·K)
+        quad = ops.pdot(Af, sol).reshape(B, K, B, K)
+        quad = quad[jnp.arange(B), :, jnp.arange(B), :]        # (B, K, K)
+        Sigma = (JJt - beta * quad) / alpha
+    else:
+        mask = lam > rank_tol * jnp.maximum(jnp.max(lam), 1.0)
+        lam_safe = jnp.where(mask, lam, 1.0)
+        inner = alpha + beta * lam_safe
+        if range_clip_min is not None:
+            inner = jnp.maximum(inner, range_clip_min)
+        q = jnp.where(mask, (1.0 / inner - 1.0 / alpha) / lam_safe, 0.0)
+        W = jnp.einsum("bkd,de->bke", A, V,
+                       precision=jax.lax.Precision.HIGHEST)
+        Sigma = JJt / alpha + jnp.einsum(
+            "bkd,d,bld->bkl", W, q, W,
+            precision=jax.lax.Precision.HIGHEST)
+
+    Sigma = 0.5 * (Sigma + jnp.swapaxes(Sigma, -1, -2))
+    ev, Q = jnp.linalg.eigh(Sigma)
+    L = Q * jnp.sqrt(jnp.maximum(ev, 0.0))[..., None, :]      # (B, K, K)
+
+    eta = jax.random.normal(key, (num_samples, B, K))
+    return f0[None] + jnp.einsum("bkj,sbj->sbk", L, eta)      # (S, B, K)
 
 
 class ScalableLLAPredictor:
@@ -277,14 +310,15 @@ class ScalableLLAPredictor:
         self.jac_block = jac_block
         self._stats_cache: dict = {}
         self.R = ops.dense_wt(state, Z, example_block=example_block)
-        gram = syrk(self.R)
+        self.gram = syrk(self.R)
         self.lam, self.V = jnp.linalg.eigh(
-            ops.ensure_symmetry(gram, jitter=0.0))
+            ops.ensure_symmetry(self.gram, jitter=0.0))
         self.sample_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             repl = NamedSharding(mesh, P())
             self.R = jax.device_put(self.R, repl)
+            self.gram = jax.device_put(self.gram, repl)
             self.lam = jax.device_put(self.lam, repl)
             self.V = jax.device_put(self.V, repl)
             self.state = jax.device_put(self.state, repl)
@@ -304,7 +338,7 @@ class ScalableLLAPredictor:
             if shape == x.shape:
                 return stats
         stats = _jitted_jac_stats(self.state, jnp.asarray(x, jnp.float32),
-                                  self.R, self.V, self.jac_block)
+                                  self.R, self.jac_block)
         if cache_key is not None:
             self._stats_cache[cache_key] = (tuple(x.shape), stats)
         return stats
@@ -313,10 +347,20 @@ class ScalableLLAPredictor:
                       num_samples: int, cache_key=None) -> jnp.ndarray:
         """(num_samples, B, K) predictive logit samples for one batch."""
         if self.method == "cov":
-            f0, JJt, W = self.batch_stats(x, cache_key)
+            f0, JJt, A = self.batch_stats(x, cache_key)
+            # exact-inverse Woodbury solve whenever the clip provably
+            # cannot activate (alpha >= clip, or no clip); spectral q-form
+            # only in the clip-active toy regime — see _joint_logit_samples
+            try:
+                alpha_c = float(alpha)
+            except TypeError:               # traced alpha: conservative
+                alpha_c = None
+            use_woodbury = self.range_clip_min is None or (
+                alpha_c is not None and alpha_c >= self.range_clip_min)
             return _joint_logit_samples(
-                f0, JJt, W, self.lam, alpha, self.beta, key, num_samples,
-                self.rank_tol, self.range_clip_min)
+                f0, JJt, A, self.gram, self.lam, self.V, alpha, self.beta,
+                key, num_samples, self.rank_tol, self.range_clip_min,
+                use_woodbury)
         return _amortized_logit_samples(
             self.state, self.R, self.lam, self.V, alpha, self.beta,
             jnp.asarray(x, dtype=jnp.float32), key, num_samples,

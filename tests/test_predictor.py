@@ -139,19 +139,30 @@ def test_cov_method_matches_dense_predictive_covariance():
     beta = full / Z.shape[0]
 
     pred = ScalableLLAPredictor(state, Z, full_set_size=32, method="cov")
-    f0, JJt, W = pred.batch_stats(xt)
+    f0, JJt, A = pred.batch_stats(xt)
     K = f0.shape[-1]
 
-    # analytic covariance of a/sqrt(alpha) + c from the joint blocks
-    lam = pred.lam
+    # analytic covariance, both assembly forms (Woodbury solve is the
+    # production path for alpha >= clip; spectral q-form for clip-active)
+    d_z = pred.gram.shape[0]
+    C = alpha * jnp.eye(d_z) + beta * pred.gram
+    sol = jnp.linalg.solve(C, A.reshape(-1, d_z).T)
+    quad = (A.reshape(-1, d_z) @ sol).reshape(
+        xt.shape[0], K, xt.shape[0], K)
+    quad = quad[jnp.arange(xt.shape[0]), :, jnp.arange(xt.shape[0]), :]
+    Sigma = (JJt - beta * quad) / alpha
+
+    lam, V = pred.lam, pred.V
     mask = lam > 1e-7 * jnp.maximum(jnp.max(lam), 1.0)
     lam_safe = jnp.where(mask, lam, 1.0)
-    g = jnp.where(mask,
-                  (1 / jnp.sqrt(alpha + beta * lam_safe)
-                   - 1 / jnp.sqrt(alpha)) / lam_safe, 0.0)
-    Cac = jnp.einsum("bkd,d,bld->bkl", W, g, W)
-    Ccc = jnp.einsum("bkd,d,bld->bkl", W, g * g * lam, W)
-    Sigma = JJt / alpha + 2 / jnp.sqrt(alpha) * Cac + Ccc
+    q = jnp.where(mask,
+                  (1 / (alpha + beta * lam_safe) - 1 / alpha) / lam_safe,
+                  0.0)
+    W = jnp.einsum("bkd,de->bke", A, V)
+    Sigma_q = JJt / alpha + jnp.einsum("bkd,d,bld->bkl", W, q, W)
+    # at this well-conditioned toy scale the two forms agree
+    np.testing.assert_allclose(np.asarray(Sigma_q), np.asarray(Sigma),
+                               rtol=5e-3, atol=1e-4)
 
     # dense twin: J S^{-1} J^T through the D x D curvature
     S_dense = ops.curvature_dense(state, Z, alpha, full_set_size=32)
@@ -202,3 +213,42 @@ def test_cov_method_cache_and_harness_integration():
                             predictor=pred)
     assert np.isfinite(nll) and 0.0 <= acc <= 1.0
     assert any(k[0] == "eval" for k in pred._stats_cache)
+
+
+def test_cov_woodbury_accurate_on_ill_conditioned_gram():
+    """Regression for the LeNet silent-variance-shrink bug: with a Gram
+    spectrum spanning ~5 decades, f32 eigh reconstruction of S^-1 is
+    O(1)-wrong (measured negative predictive variances), while the
+    Woodbury Cholesky-solve form matches a dense D x D oracle. Pin the
+    production (use_woodbury=True) path against the oracle."""
+    from laplace_inducing_points_tpu.inference.lla import _joint_logit_samples
+
+    key = jax.random.PRNGKey(0)
+    d_z, D, K, B = 100, 1500, 3, 2
+    basis = jax.random.normal(key, (d_z, D)) / jnp.sqrt(D)
+    scales = jnp.exp(jnp.linspace(jnp.log(1e-3), jnp.log(300.0), d_z))
+    R = basis * scales[:, None]                      # lam up to ~9e4
+    gram = R @ R.T
+    lam, V = jnp.linalg.eigh(0.5 * (gram + gram.T))
+    J = jax.random.normal(jax.random.fold_in(key, 1), (B, K, D))
+    JJt = jnp.einsum("bkd,bld->bkl", J, J)
+    A = jnp.einsum("bkd,ed->bke", J, R)
+    f0 = jnp.zeros((B, K))
+    alpha, beta = 50.0, 80.0
+
+    S_mc = 8000
+    draws = _joint_logit_samples(f0, JJt, A, gram, lam, V, alpha, beta,
+                                 jax.random.PRNGKey(2), S_mc, 1e-7, 1.0,
+                                 True)
+    emp = jnp.einsum("sbk,sbl->bkl", draws, draws) / S_mc
+
+    S_dense = alpha * jnp.eye(D) + beta * (R.T @ R)
+    Sigma_oracle = jnp.einsum("bkd,de,ble->bkl", J,
+                              jnp.linalg.inv(S_dense), J)
+    # diagonal: MC rel error ~ sqrt(2/S) ~ 1.6%; off-diagonal entries are
+    # near zero with MC std ~ sqrt(Sii*Sjj/S) ~ 0.33 — bound absolutely
+    d_emp = np.asarray(jnp.diagonal(emp, axis1=-2, axis2=-1))
+    d_orc = np.asarray(jnp.diagonal(Sigma_oracle, axis1=-2, axis2=-1))
+    np.testing.assert_allclose(d_emp, d_orc, rtol=0.08)
+    np.testing.assert_allclose(np.asarray(emp), np.asarray(Sigma_oracle),
+                               atol=4.0 * float(d_orc.max()) / np.sqrt(S_mc))

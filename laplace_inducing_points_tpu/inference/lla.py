@@ -180,73 +180,48 @@ def _jitted_jac_stats(state, x, R, jac_block):
 
 
 @partial(jax.jit, static_argnames=("num_samples", "rank_tol",
-                                   "range_clip_min", "use_woodbury"))
+                                   "range_clip_min"))
 def _joint_logit_samples(f0, JJt, A, gram, lam, V, alpha, beta, key,
                          num_samples: int, rank_tol: float,
-                         range_clip_min, use_woodbury: bool):
+                         range_clip_min):
     """Logit samples from the per-image predictive statistics.
 
     Per image the predictive is the K-dim Gaussian ``N(f0, Σ)`` with
-    ``Σ = J S⁻¹ Jᵀ``, assembled from ``A = J Rᵀ`` in one of two ways:
+    ``Σ = J S⁻¹ Jᵀ``, assembled from ``A = J Rᵀ`` by expanding EXACTLY
+    what the (oracle-validated) weight-space draw computes, marginalized
+    per image: with the g-form factor ``S^{-1/2} = I/√α + Rᵀ H R``,
+    ``H = V diag(g) Vᵀ``,
 
-    * ``use_woodbury=True`` (exact inverse — valid whenever the range clip
-      cannot activate because α ≥ clip; both scale operating points):
+        Σ = JJᵀ/α + A·[ (2/√α)·H + H·Gzz·H ]·Aᵀ
 
-          Σ = (1/α)·[JJᵀ − β A (αI + β Gzz)⁻¹ Aᵀ]
+    Every operator here is BOUNDED (g is bounded in λ, clip included) and
+    the quadratic uses the true ``Gzz``, not its eigh reconstruction.
+    That matters: three numerically-naive assemblies were tried and
+    rejected with measured failures —
 
-      via one d_z Cholesky solve — NO spectral reconstruction. This is
-      the numerically sound form: the f32 eigh of a Gram whose spectrum
-      spans 5+ decades (LeNet: λ ∈ [~0, 6.3e4], 764/1000 eigenvalues
-      below tolerance) reconstructs S⁻¹ with O(1) errors — measured
-      NEGATIVE predictive variances down to −170 where a CG oracle gives
-      ~10, which silently shrank the predictive (ACC 95.5%→98.5% on
-      LeNet/MNIST) before the oracle exposed it.
-    * ``use_woodbury=False`` (clip-active regime, α < clip — the toy
-      parity configs: small d_z, mild spectra, eigh is accurate there):
-
-          Σ = JJᵀ/α + (A V) diag(q) (A V)ᵀ,
-          q(λ) = (1/max(α+βλ, clip) − 1/α)/λ
-
-      (q is the squared g-form of ``inference/sample.py`` — bounded as
-      λ→0 when the clip is inactive).
+    * spectral q-form ``A V diag(q) Vᵀ Aᵀ``: relies on ``Vᵀ Gzz V = Λ``,
+      but at a 5-decade f32 spectrum (LeNet: 764/1000 eigenvalues below
+      tolerance) the eigh residual, weighted by q, produced predictive
+      variances down to −170 where a CG oracle gives ~10 — silently
+      shrinking the predictive (ACC 95.5%→98.5%);
+    * Woodbury Cholesky solve of ``αI + βGzz``: exact where it factors,
+      but κ = 1 + βλ_max/α ≈ 2e7 at the flagship CIFAR point exceeds
+      f32 Cholesky's range → NaN;
+    * a 2K×2K joint of (prior, correction) draws (near-singular → NaN)
+      and a range/null split (1/λ round-off amplification, ACC −15%).
 
     Σ is symmetrized and sampled through a per-image K×K eigh with
-    eigenvalues clipped at 0. A 2K×2K joint of (prior, correction) draws
-    was tried and rejected — near-singular along stiff directions, its
-    f32 Cholesky NaN'd — as was a range/null factor split, whose
-    ``JJᵀ − W Λ⁻¹ Wᵀ`` amplifies round-off by 1/λ (ACC 95.7%→80.7%).
-    Images draw independently, which leaves every per-image marginal —
-    hence NLL/ACC/Brier/ECE/AUROC — identical in distribution to the
-    shared-ε weight-space path (tested against the dense twin, the weight
-    path, and a matrix-free CG oracle)."""
+    eigenvalues clipped at 0. Images draw independently, which leaves
+    every per-image marginal — hence NLL/ACC/Brier/ECE/AUROC — identical
+    in distribution to the shared-ε weight-space path (tested against the
+    dense twin, the weight path, and a matrix-free CG oracle)."""
     B, K = f0.shape
-    d_z = gram.shape[0]
-    if use_woodbury:
-        C = alpha * jnp.eye(d_z, dtype=gram.dtype) + beta * gram
-        # C is α-regularized; a small relative jitter (capped so it cannot
-        # bias the α-level eigenvalues) guards the f32 pivot band at the
-        # large spectral spread
-        rowsum = jnp.max(jnp.sum(jnp.abs(C), axis=1))
-        jitter = jnp.minimum(2e-7 * rowsum, 0.05 * alpha)
-        L_c = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
-                                  + jitter * jnp.eye(d_z, dtype=gram.dtype))
-        Af = A.reshape(B * K, d_z)
-        sol = jax.scipy.linalg.cho_solve((L_c, True), Af.T)    # (d_z, B·K)
-        quad = ops.pdot(Af, sol).reshape(B, K, B, K)
-        quad = quad[jnp.arange(B), :, jnp.arange(B), :]        # (B, K, K)
-        Sigma = (JJt - beta * quad) / alpha
-    else:
-        mask = lam > rank_tol * jnp.maximum(jnp.max(lam), 1.0)
-        lam_safe = jnp.where(mask, lam, 1.0)
-        inner = alpha + beta * lam_safe
-        if range_clip_min is not None:
-            inner = jnp.maximum(inner, range_clip_min)
-        q = jnp.where(mask, (1.0 / inner - 1.0 / alpha) / lam_safe, 0.0)
-        W = jnp.einsum("bkd,de->bke", A, V,
-                       precision=jax.lax.Precision.HIGHEST)
-        Sigma = JJt / alpha + jnp.einsum(
-            "bkd,d,bld->bkl", W, q, W,
-            precision=jax.lax.Precision.HIGHEST)
+    g = _g_weights(lam, alpha, beta, rank_tol, range_clip_min)
+    H = ops.pdot(V * g, V.T)                                  # (d_z, d_z)
+    Hp = (2.0 / jnp.sqrt(alpha)) * H + ops.pdot(ops.pdot(H, gram), H)
+    Sigma = JJt / alpha + jnp.einsum(
+        "bkd,de,ble->bkl", A, Hp, A,
+        precision=jax.lax.Precision.HIGHEST)
 
     Sigma = 0.5 * (Sigma + jnp.swapaxes(Sigma, -1, -2))
     ev, Q = jnp.linalg.eigh(Sigma)
@@ -348,19 +323,9 @@ class ScalableLLAPredictor:
         """(num_samples, B, K) predictive logit samples for one batch."""
         if self.method == "cov":
             f0, JJt, A = self.batch_stats(x, cache_key)
-            # exact-inverse Woodbury solve whenever the clip provably
-            # cannot activate (alpha >= clip, or no clip); spectral q-form
-            # only in the clip-active toy regime — see _joint_logit_samples
-            try:
-                alpha_c = float(alpha)
-            except TypeError:               # traced alpha: conservative
-                alpha_c = None
-            use_woodbury = self.range_clip_min is None or (
-                alpha_c is not None and alpha_c >= self.range_clip_min)
             return _joint_logit_samples(
                 f0, JJt, A, self.gram, self.lam, self.V, alpha, self.beta,
-                key, num_samples, self.rank_tol, self.range_clip_min,
-                use_woodbury)
+                key, num_samples, self.rank_tol, self.range_clip_min)
         return _amortized_logit_samples(
             self.state, self.R, self.lam, self.V, alpha, self.beta,
             jnp.asarray(x, dtype=jnp.float32), key, num_samples,

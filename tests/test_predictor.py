@@ -218,9 +218,8 @@ def test_cov_method_cache_and_harness_integration():
 def test_cov_woodbury_accurate_on_ill_conditioned_gram():
     """Regression for the LeNet silent-variance-shrink bug: with a Gram
     spectrum spanning ~5 decades, f32 eigh reconstruction of S^-1 is
-    O(1)-wrong (measured negative predictive variances), while the
-    Woodbury Cholesky-solve form matches a dense D x D oracle. Pin the
-    production (use_woodbury=True) path against the oracle."""
+    O(1)-wrong (measured negative predictive variances). Pin the
+    production H-form assembly against a dense D x D oracle."""
     from laplace_inducing_points_tpu.inference.lla import _joint_logit_samples
 
     key = jax.random.PRNGKey(0)
@@ -238,8 +237,7 @@ def test_cov_woodbury_accurate_on_ill_conditioned_gram():
 
     S_mc = 8000
     draws = _joint_logit_samples(f0, JJt, A, gram, lam, V, alpha, beta,
-                                 jax.random.PRNGKey(2), S_mc, 1e-7, 1.0,
-                                 True)
+                                 jax.random.PRNGKey(2), S_mc, 1e-7, 1.0)
     emp = jnp.einsum("sbk,sbl->bkl", draws, draws) / S_mc
 
     S_dense = alpha * jnp.eye(D) + beta * (R.T @ R)

@@ -41,8 +41,10 @@ eval-mnist:
 		--config configs/scale/lenet5_mnist.yml --scalable
 
 # ---- multi-chip dry-run on virtual CPU mesh --------------------------------
+# the scheduler flag serializes per-device collective order — without it
+# XLA:CPU's in-process rendezvous deadlocks ~50% of runs (see verify skill)
 dryrun:
-	$(CPU_ENV) XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+	$(CPU_ENV) XLA_FLAGS="--xla_force_host_platform_device_count=8 --xla_cpu_enable_concurrency_optimized_scheduler=false" \
 		$(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('dryrun OK')"
 
 # ---- real-data import (zero-egress environment) ----------------------------

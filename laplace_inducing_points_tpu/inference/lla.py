@@ -299,6 +299,55 @@ class ScalableLLAPredictor:
             self.state = jax.device_put(self.state, repl)
             self.sample_sharding = NamedSharding(mesh, P(mesh_axis))
 
+    def _cov_self_check(self, x, alpha, cov_draws, n_check: int = 64):
+        """One-time f32-regime guard for ``method="cov"``.
+
+        The covariance pushdown must resolve Σ = J S⁻¹ Jᵀ from terms
+        ~JJᵀ/α — a cancellation by the posterior's contraction ratio in
+        VARIANCE space. Past ~1e4 (flagship CIFAR: α·Σ/JJᵀ ≈ 1e-5) that
+        exceeds f32 and Σ comes out wrong even in exact-arithmetic-correct
+        assemblies (measured against a CG oracle; docs/DESIGN.md §4b).
+        The weight-space draw only pays the ratio's SQUARE ROOT, so on the
+        first batch we draw a small weight-path sample and compare
+        per-image variances; a >2× median mismatch prints a loud warning
+        to switch ``method="weight"`` for this operating point.
+        """
+        if getattr(self, "_cov_checked", False):
+            return
+        self._cov_checked = True
+        del cov_draws  # may hold too few samples for a variance estimate
+        xs = jnp.asarray(x, dtype=jnp.float32)
+        w_draws = _amortized_logit_samples(
+            self.state, self.R, self.lam, self.V, alpha, self.beta,
+            xs, jax.random.PRNGKey(0), n_check, self.rank_tol,
+            self.range_clip_min, self.sample_block, self.sample_sharding)
+        f0, JJt, A = self.batch_stats(xs)
+        c_draws = _joint_logit_samples(
+            f0, JJt, A, self.gram, self.lam, self.V, alpha, self.beta,
+            jax.random.PRNGKey(1), n_check, self.rank_tol,
+            self.range_clip_min)
+        v_w = jnp.var(w_draws, axis=0)
+        v_c = jnp.var(c_draws, axis=0)
+        ratio = v_w / jnp.maximum(v_c, 1e-12)
+        # regime failure clips a MINORITY of entries to near-zero variance
+        # (measured at the flagship: median ratio ~1 but ~half the classes
+        # of some images off by >>3x), so test the TAIL, not the median:
+        # with ~±25% MC noise per side at n_check=64, legitimate entries
+        # exceed 3x only in the extreme tails
+        frac_bad = float(jnp.mean((ratio < 1.0 / 3) | (ratio > 3.0)))
+        # per-entry false-positive prob at 3x is ~5e-6 (4.4 sigma of the
+        # log-ratio noise), so >2% of entries outside the band is signal
+        if frac_bad > 0.02:
+            import warnings
+            warnings.warn(
+                f"ScalableLLAPredictor(method='cov'): "
+                f"{100 * frac_bad:.0f}% of per-image logit variances "
+                f"disagree with a weight-path draw by >3x — the "
+                f"posterior's contraction ratio at this operating point "
+                f"likely exceeds the f32 covariance-assembly range. Use "
+                f"method='weight' (--predictive weight) here; see "
+                f"docs/DESIGN.md 4b.", stacklevel=3)
+
     def batch_stats(self, x: jnp.ndarray, cache_key=None):
         """α-independent per-image stats for ``method="cov"`` (cached).
 
@@ -323,9 +372,11 @@ class ScalableLLAPredictor:
         """(num_samples, B, K) predictive logit samples for one batch."""
         if self.method == "cov":
             f0, JJt, A = self.batch_stats(x, cache_key)
-            return _joint_logit_samples(
+            out = _joint_logit_samples(
                 f0, JJt, A, self.gram, self.lam, self.V, alpha, self.beta,
                 key, num_samples, self.rank_tol, self.range_clip_min)
+            self._cov_self_check(x, alpha, out)
+            return out
         return _amortized_logit_samples(
             self.state, self.R, self.lam, self.V, alpha, self.beta,
             jnp.asarray(x, dtype=jnp.float32), key, num_samples,

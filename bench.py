@@ -36,9 +36,13 @@ import time
 from functools import partial
 
 # Watchdog: the tunneled TPU can be unreachable (single-client grant wedged
-# or remote side down). If the first device contact doesn't complete within
-# the budget, re-exec on local CPU and say so in the metric name — a
-# degraded-but-honest number beats a hung process.
+# or remote side down). The budget guards ONLY first device contact — one
+# trivial jitted add, seconds even over the tunnel and independent of the
+# compile-cache state. The real benchmark compiles run unguarded afterwards:
+# a cold remote grad-graph compile is ~20 min (one-time; the persistent
+# /tmp/jax_cache_axon cache makes repeats fast), and round 2's watchdog —
+# which guarded the compiles too — re-exec'd a healthy-but-cold run onto
+# CPU, recording a degraded artifact (VERDICT r2 weak #1).
 _TPU_CONTACT_BUDGET_S = 240
 
 
@@ -226,6 +230,15 @@ def main():
     setup_compile_cache()
     watchdog = _watchdog_reexec_cpu()
     log(f"[bench] devices: {jax.devices()}")
+    # contact probe: trivial add, no library graphs — completes in seconds
+    # when the tunnel is healthy, regardless of compile-cache warmth
+    t0 = time.perf_counter()
+    contact = jax.jit(lambda a, b: a + b)(jnp.float32(1.0), jnp.float32(2.0))
+    assert float(np.asarray(contact)) == 3.0
+    if watchdog is not None:
+        watchdog.cancel()              # device reachable — compiles unguarded
+    log(f"[bench] device contact OK ({time.perf_counter() - t0:.1f}s)")
+
     state, x, probes, D = build()
     log(f"[bench] LeNet5 D={D}, M={M} examples, P={P} probes "
         f"(chained-scan slope timing, n_long={_n_long()})")
@@ -234,8 +247,6 @@ def main():
     build_R = jax.jit(lambda z: ops.dense_wt(state, z))
     R = build_R(x)
     jax.block_until_ready(R)
-    if watchdog is not None:
-        watchdog.cancel()              # device contact + compile succeeded
     d_z = R.shape[0]
     sweep_flops = 4.0 * P * d_z * D          # two (P, d_z, D) matmuls
     peak = _peak_tflops()
@@ -278,6 +289,35 @@ def main():
     t_mf, _ = slope_time(make_matrixfree(state, x), probes)
     log(f"[bench] matrix-free sweep: {t_mf * 1e3:.3f} ms "
         f"({P / t_mf:.0f} MVP/s)")
+
+    # --- posterior sampler (BASELINE.json names posterior-solve wall-clock
+    # as a north-star metric next to GGN-MVPs/s) ----------------------------
+    # Factor build = Wᵀ rows + SYRK Gram + d_z×d_z eigh, once per (state, Z);
+    # a draw batch afterwards is apply_inv_matsqrt_rows' three HIGHEST
+    # matmuls (inference/sample.py — the production sampling path).
+    from laplace_inducing_points_tpu.inference.sample import (
+        apply_inv_matsqrt_rows, inv_matsqrt_gram)
+    from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
+
+    s_alpha = 50.0                 # the reference's MNIST operating point
+    s_beta = 60000.0 / M
+    build_factor = jax.jit(
+        lambda z: inv_matsqrt_gram(syrk(build_R(z)), s_alpha, s_beta))
+    core = build_factor(x)
+    jax.block_until_ready(core)
+
+    def factor_op(z):
+        c = build_factor(z)
+        return z * (1.0 + 0.0 * c[0, 0])
+    t_factor, _ = slope_time(factor_op, x)
+    log(f"[bench] sampler factor build (rows+syrk+eigh, d_z={d_z}): "
+        f"{t_factor * 1e3:.3f} ms")
+
+    def draw_sweep(eps, Rc, corec):
+        return apply_inv_matsqrt_rows(eps, Rc, corec, s_alpha)
+    t_draw, _ = slope_time(draw_sweep, probes, R, core)
+    log(f"[bench] posterior draws (S^-1/2 on {P} eps): "
+        f"{t_draw * 1e3:.3f} ms/batch ({P / t_draw:.0f} draws/s)")
 
     # reference-style: per-call (runtime >> dispatch latency)
     slow = make_reference_style(state, x)
@@ -329,8 +369,10 @@ def main():
     except Exception:
         log("[bench] no CPU baseline record — reporting same-chip ratio")
 
-    suffix = "_cpu_fallback" if os.environ.get("_LIPT_BENCH_CPU") == "1" \
-        else ""
+    on_cpu_fallback = os.environ.get("_LIPT_BENCH_CPU") == "1"
+    suffix = "_cpu_fallback" if on_cpu_fallback else ""
+    # on fallback there is no meaningful peak to normalize against — a CPU
+    # "MFU" in the official artifact invites misreading (VERDICT r2 weak #2)
     print(json.dumps({
         "metric": "ggn_mvps_per_sec_lenet5_m128" + suffix,
         "value": round(value, 2),
@@ -338,14 +380,16 @@ def main():
         "vs_baseline": round(vs_baseline, 2),
         "timing": "device_slope",
         "tflops": round(tflops_def, 2),
-        "mfu": round(tflops_def / peak, 4),
+        "mfu": None if on_cpu_fallback else round(tflops_def / peak, 4),
         "tflops_exact_f32": round(tflops_hi, 2),
         "mvps_exact_f32": round(P / t_hi, 2),
         "oneshot_mvps": round(P / t_one, 2),
         "r_build_ms": round(t_build * 1e3, 3),
+        "sampler_draws_per_sec": round(P / t_draw, 2),
+        "factor_build_ms": round(t_factor * 1e3, 3),
         "dispatch_latency_ms": round(latency_ms, 1),
         "same_chip_ratio": round(same_chip_ratio, 1),
-        "peak_tflops_assumed": peak,
+        "peak_tflops_assumed": None if on_cpu_fallback else peak,
     }))
 
 

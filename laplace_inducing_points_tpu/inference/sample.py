@@ -70,6 +70,20 @@ def inv_matsqrt_gram(gram: jnp.ndarray, alpha, beta,
     return (V * g) @ V.T
 
 
+def apply_inv_matsqrt_rows(eps: jnp.ndarray, R: jnp.ndarray,
+                           core: jnp.ndarray, alpha) -> jnp.ndarray:
+    """``S^{-1/2} Eps`` through materialized rows + spectral core.
+
+    ``eps (P, D)``, ``R = Wᵀ rows (d, D)``, ``core = V diag(g) Vᵀ (d, d)``.
+    Three HIGHEST-precision matmuls: the range-term correction cancels the
+    prior draw along high-curvature directions, so contraction error
+    re-enters the pushed-forward samples amplified by ~√λ_max (bf16 here
+    broke flagship metrics — see ``pdot``'s docstring).
+    """
+    U = ops.pdot(eps, R.T)                         # (P, d) = (Wᵀ ε)ᵀ
+    return eps / jnp.sqrt(alpha) + ops.pdot(ops.pdot(U, core.T), R)
+
+
 def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
                      full_set_size: Optional[int] = None,
                      rank_tol: float = 1e-7,
@@ -96,12 +110,7 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
                                 range_clip_min)                # (d, d)
 
         def apply(eps: jnp.ndarray) -> jnp.ndarray:
-            # HIGHEST: the range-term correction cancels the prior draw
-            # along high-curvature directions; contraction error re-enters
-            # the pushed-forward samples amplified by ~√λ_max (see
-            # inference/lla.py draw — bf16 here broke flagship metrics)
-            U = ops.pdot(eps, R.T)                     # (P, d) = (Wᵀ ε)ᵀ
-            return inv_sqrt_alpha * eps + ops.pdot(ops.pdot(U, core.T), R)
+            return apply_inv_matsqrt_rows(eps, R, core, alpha)
 
         return apply
 

@@ -4,20 +4,38 @@ import jax.numpy as jnp
 
 
 def host_cpu_fingerprint() -> str:
-    """Short fingerprint of the host CPU's visible ISA feature set.
+    """Short fingerprint of the host CPU identity + jaxlib version.
 
     XLA:CPU persistent-cache entries are AOT-compiled against the compiling
-    host's ISA extensions, and this VM's feature set varies across boots —
+    host's ISA extensions AND model-derived LLVM tuning prefs (e.g.
+    ``+prefer-no-gather`` on Downfall-era Intel — set by CPU *model*, not by
+    any /proc/cpuinfo flag), and this VM's host varies across boots —
     loading a foreign entry risks SIGILL. Every CPU compile-cache directory
-    is keyed by this value (here, tests/conftest.py, __graft_entry__).
+    is keyed by this value (here, tests/conftest.py); the hash covers the
+    model identity lines, the flag set, and the jaxlib version so any of
+    them rolling moves the cache to a fresh dir.
+
+    Note: XLA:CPU logs a scary "machine type doesn't match" warning on
+    every persistent-cache load even on the identical host (its load-side
+    feature probe never reports tuning prefs) — that warning alone does not
+    indicate a real mismatch; this key is about preventing the real thing.
     """
     import hashlib
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
-        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+            head = f.read().split("\n\n", 1)[0]     # first CPU's record
+        keep = ("vendor_id", "cpu family", "model", "model name",
+                "stepping", "flags")
+        ident = "\n".join(ln for ln in head.splitlines()
+                          if ln.split("\t")[0].strip() in keep)
     except OSError:
-        return "nofp"
+        ident = "nofp"
+    try:
+        import jaxlib
+        ident += "\njaxlib=" + jaxlib.__version__
+    except Exception:
+        pass
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
 
 
 def is_pd(mat, tol: float = 1e-9) -> bool:

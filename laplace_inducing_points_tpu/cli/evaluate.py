@@ -39,9 +39,11 @@ from laplace_inducing_points_tpu.utils.config import load_experiment_config
 TOY_DATASETS = ("sine", "xor", "spiral", "ring", "banana")
 
 
-def _loaders(name: str, batch_size: int, data_dir: str, data_cfg=None):
+def _loaders(name: str, batch_size: int, data_dir: str, data_cfg=None,
+             **gen_kwargs):
     if name in TOY_DATASETS:
         data_cfg = dict(data_cfg or {})
+        data_cfg.update(gen_kwargs)
         x, y = load_dataset(ensure_toy_npz(
             name, data_dir=data_dir, n=data_cfg.pop("n", 512),
             noise=data_cfg.pop("noise", 0.05),
@@ -56,6 +58,13 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", required=True)
     p.add_argument("--ood-dataset", default=None)
+    p.add_argument("--ood_ring_radius", type=float, default=None,
+                   help="when --ood-dataset is 'ring', generate it at this "
+                        "radius. Default: the reference data-gen CLI's "
+                        "hard-coded 2.0 (toydata.py:227-233); its generator "
+                        "function default is 1.05 (:91) — the non-trivial "
+                        "OOD set flush against the banana support. "
+                        "RESULTS.md reports both")
     p.add_argument("--config", required=True)
     p.add_argument("--ckpt_map", default="checkpoint/map/")
     p.add_argument("--ckpt_induc", default="checkpoint/ind/")
@@ -124,9 +133,13 @@ def main(argv=None):
     if args.ood_dataset:
         # test split for ALL dataset kinds (toy included) — a consistent
         # OOD evaluation protocol
+        ood_kwargs = {}
+        if args.ood_dataset == "ring" and args.ood_ring_radius is not None:
+            ood_kwargs = {"radius": args.ood_ring_radius,
+                          "fname": f"ring_r{args.ood_ring_radius:g}"}
         _, ood_loader, _ = _loaders(args.ood_dataset,
                                     opt_cfg["map"]["batch_size"],
-                                    args.data_dir)
+                                    args.data_dir, **ood_kwargs)
 
     dummy = jnp.asarray(next(iter(train_loader))[0][:1], dtype=jnp.float32)
     full_set_size = full_set_size or len(train_loader.dataset)

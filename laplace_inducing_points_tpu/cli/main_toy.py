@@ -52,7 +52,7 @@ def build_parser():
     p.add_argument("--scalable", action="store_true",
                    help="matrix-free IP objective + LLA sampling")
     p.add_argument("--objective", default=None,
-                   choices=["dense", "gram", "stochastic"],
+                   choices=["dense", "gram", "stochastic", "stochastic_matfree"],
                    help="override the inducing objective")
     p.add_argument("--num_mc_samples_lla", type=int, default=1000)
     p.add_argument("--alpha_ip", type=float, default=None)

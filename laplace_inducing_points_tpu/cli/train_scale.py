@@ -51,7 +51,7 @@ def build_parser():
                         "interleave MAP with gradient ascent on the log "
                         "marginal likelihood (train_map_then_alpha)")
     p.add_argument("--objective", default=None,
-                   choices=["dense", "gram", "gram_chunked", "stochastic"])
+                   choices=["dense", "gram", "gram_chunked", "stochastic", "stochastic_matfree"])
     p.add_argument("--ckpt_map", default="checkpoint/map/")
     p.add_argument("--ckpt_induc", default="checkpoint/ind/")
     p.add_argument("--data_dir", default="data/")

@@ -13,10 +13,13 @@ variants are provided, rebuilt on the batched operator layer:
 * ``kl_objective_stochastic`` — Hutch++ trace + SLQ log-det with shared
   Rademacher probes (reference ``alternative_objective_scalable``,
   ``:87-173``). Its win over the gram path is avoiding the **data-batch**
-  Gram/cross-Gram (``d_x × d_z`` work becomes probe-count-bounded MVPs);
-  the inducing-side solve still goes through the dense ``d_z × d_z`` Gram
-  (Woodbury, parity with the reference), so ``d_z`` itself must fit —
-  both paths share that memory profile. Note:
+  Gram/cross-Gram (``d_x × d_z`` work becomes probe-count-bounded MVPs).
+  By default the inducing-side solve goes through the dense ``d_z × d_z``
+  Gram (Woodbury, parity with the reference); ``materialize_w=False``
+  (objective name ``stochastic_matfree``) replaces it with a CG solve
+  against the matrix-free Gram operator, making the whole objective free
+  of ``d_z × D`` / ``d_z × d_z`` intermediates — the d_z-beyond-eigh
+  regime the reference has no path for. Note:
   the reference's SLQ target omits the ``β = N/M`` recalibration inside the
   bidiagonal operator (``:164-168`` stacks ``[√α·v; Wzᵀv]``); this
   implementation includes it so the stochastic objective is consistent with
@@ -140,13 +143,31 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
                             full_set_size: Optional[int] = None,
                             st_samples: int = 256,
                             slq_samples: int = 2,
-                            slq_num_matvecs: Optional[int] = None
+                            slq_num_matvecs: Optional[int] = None,
+                            materialize_w: bool = True,
+                            cg_tol: float = 1e-6,
+                            cg_maxiter: Optional[int] = None
                             ) -> jnp.ndarray:
     """Hutch++ trace + SLQ logdet with shared Rademacher probes.
 
     Parity: ``alternative_objective_scalable``
     (``/root/reference/src/train_inducing.py:87-173``) — probe sharing, the
     (st_samples−16, 16) Hutch++ split, Woodbury through the dense d_z Gram.
+
+    ``materialize_w=False`` (round 3, beyond-reference): the Woodbury inner
+    solve runs as a **CG solve against the matrix-free Gram operator**
+    ``u ↦ Wzᵀ(Wz u) + (α/β)u`` instead of a Cholesky of the dense ``Gzz``
+    — nothing of size ``d_z × D`` or ``d_z × d_z`` is ever materialized
+    (statically asserted in ``tests/test_variational.py``), so ``d_z`` can
+    exceed the eigh/Cholesky range. Gradients w.r.t. Z flow through the
+    solve by implicit differentiation (``lax.custom_linear_solve`` inside
+    ``jax.scipy.sparse.linalg.cg`` — the transpose solve reuses the same
+    PSD operator). The reference's stacked SLQ operator is already
+    matrix-free; only its Woodbury wasn't
+    (``/root/reference/src/train_inducing.py:122-132``). Cost: each CG
+    iteration is one jvp+vjp pair of the batched model at Z; ``cg_tol``
+    trades iterations against bias in the trace estimate (error enters
+    linearly, bounded by the ~1/√P estimator noise for tol ≪ 1/√P).
     """
     N = full_set_size or Z.shape[0]
     M = Z.shape[0]
@@ -161,19 +182,33 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
     s_vp = ops.make_curvature_operator(state, X, alpha, full_set_size=N,
                                        lin=lin_x)
     wz = ops.make_w_factor(state, Z, full_set_size=None)
-    Rz = ops.dense_wt(state, Z)
-    Gzz = syrk(Rz)
-    d_z = Gzz.shape[0]
-    eye = jnp.eye(d_z, dtype=Gzz.dtype)
-    # stable C-form Woodbury (see kl_objective_gram): Mᵢ⁻¹ = α·C⁻¹
-    C = Gzz + (alpha / beta) * eye
-    L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
-                            + _pivot_jitter(C) * eye)
     Mk, Kk = wz.inner_shape
+    d_z = Mk * Kk
+
+    if materialize_w:
+        Rz = ops.dense_wt(state, Z)
+        Gzz = syrk(Rz)
+        eye = jnp.eye(d_z, dtype=Gzz.dtype)
+        # stable C-form Woodbury (see kl_objective_gram): Mᵢ⁻¹ = α·C⁻¹
+        C = Gzz + (alpha / beta) * eye
+        L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
+                                + _pivot_jitter(C) * eye)
+
+        def c_solve(u):
+            return jax.scipy.linalg.cho_solve((L, True), u)
+    else:
+        def c_matvec(u):
+            gu = wz.t_matvec(wz.matvec(u.reshape(Mk, Kk))).reshape(d_z)
+            return gu + (alpha / beta) * u
+
+        def c_solve(u):
+            x, _ = jax.scipy.sparse.linalg.cg(
+                c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d_z)
+            return x
 
     def sz_inv_vp(v):
         u = wz.t_matvec(v).reshape(d_z)
-        x = jax.scipy.linalg.cho_solve((L, True), u)
+        x = c_solve(u)
         return a_inv * v - a_inv * wz.matvec(x.reshape(Mk, Kk))
 
     def composite(V):
@@ -204,6 +239,8 @@ OBJECTIVES = {
     "dense": kl_objective_dense,
     "gram": kl_objective_gram,
     "stochastic": kl_objective_stochastic,
+    "stochastic_matfree": partial(kl_objective_stochastic,
+                                  materialize_w=False),
 }
 
 
@@ -333,7 +370,7 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
     kwargs = dict(full_set_size=full_set_size)
     if objective == "gram":
         kwargs.update(example_block=example_block)
-    if objective == "stochastic":
+    if objective.startswith("stochastic"):
         kwargs.update(st_samples=st_samples, slq_samples=slq_samples,
                       slq_num_matvecs=slq_num_matvecs)
     loss, grads = jax.value_and_grad(OBJECTIVES[objective])(

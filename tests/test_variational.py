@@ -171,3 +171,65 @@ def test_pivot_jitter_negligible_on_well_scaled_gram():
               + jnp.linalg.slogdet(C)[1])
     assert jnp.allclose(loss, trace + logdet, rtol=1e-4), (
         float(loss), float(trace + logdet))
+
+
+def test_matfree_stochastic_matches_materialized():
+    """CG-Woodbury twin: value AND dZ-gradient vs the dense-Gram Woodbury.
+
+    Same key/probes on both sides, so the ONLY difference is the inner
+    solve (Cholesky of dense Gzz vs CG against the matrix-free operator);
+    at tight cg_tol they must agree to solver round-off, not estimator
+    noise.
+    """
+    _, state, (x, _) = classifier_state()
+    Z, X = x[:5], x[:12]
+    alpha = 0.6
+    N = 24
+    kw = dict(full_set_size=N, st_samples=48, slq_samples=4,
+              slq_num_matvecs=8)
+    key = jax.random.PRNGKey(3)
+    v_mat, g_mat = jax.value_and_grad(ind.kl_objective_stochastic)(
+        Z, X, state, alpha, key, **kw)
+    v_free, g_free = jax.value_and_grad(ind.OBJECTIVES["stochastic_matfree"])(
+        Z, X, state, alpha, key, **kw)
+    assert jnp.allclose(v_mat, v_free, rtol=1e-4, atol=1e-3), (v_mat, v_free)
+    scale = jnp.max(jnp.abs(g_mat)) + 1e-8
+    assert jnp.max(jnp.abs(g_mat - g_free)) < 5e-3 * scale
+
+
+def test_matfree_stochastic_never_materializes_gram():
+    """Static memory assertion: no (d_z × D), (D × d_z) or (d_z × d_z)
+    intermediate exists anywhere in the jaxpr of the matrix-free
+    objective's value-and-gradient computation."""
+    _, state, (x, _) = classifier_state()
+    Z, X = x[:5], x[:12]
+    d_z = Z.shape[0] * 2                 # M * num_classes
+    from laplace_inducing_points_tpu.core.params import flatten_nn_params
+    D = flatten_nn_params(state.params)[0].shape[0]
+    assert D > d_z                       # shapes must be distinguishable
+
+    fn = lambda z: ind.OBJECTIVES["stochastic_matfree"](
+        z, X, state, 0.6, jax.random.PRNGKey(0), full_set_size=24,
+        st_samples=16, slq_samples=2, slq_num_matvecs=6)
+    jaxpr = jax.make_jaxpr(jax.value_and_grad(fn))(Z)
+
+    banned = {(d_z, D), (D, d_z), (d_z, d_z)}
+
+    # flatten nested call/scan jaxprs manually (robust across jax versions)
+    stack = [jaxpr.jaxpr]
+    seen = 0
+    while stack:
+        jp = stack.pop()
+        for eqn in jp.eqns:
+            seen += 1
+            for v in eqn.outvars:
+                shape = tuple(getattr(v.aval, "shape", ()))
+                assert shape not in banned, (eqn.primitive, shape)
+            for val in eqn.params.values():
+                vals = val if isinstance(val, (list, tuple)) else [val]
+                for item in vals:
+                    if hasattr(item, "jaxpr"):       # ClosedJaxpr
+                        stack.append(item.jaxpr)
+                    elif hasattr(item, "eqns"):      # raw Jaxpr
+                        stack.append(item)
+    assert seen > 50       # sanity: we actually walked the graph

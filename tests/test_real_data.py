@@ -98,3 +98,80 @@ def test_model_learns_real_digits():
                             train=False)
     acc = float(jnp.mean(jnp.argmax(logits, -1) == jnp.asarray(yt)))
     assert acc > 0.5, f"real-digit test accuracy {acc} (chance = 0.1)"
+
+
+def _digits_full_pipeline(num_mc: int = 64, seed: int = 0):
+    """MAP -> inducing -> IP-LLA eval -> OOD, entirely on REAL images.
+
+    Held-out-class OOD protocol: a 5-way head trained on digits 0-4; real
+    digits 5-9 are the OOD set (the zero-egress analog of the reference's
+    MNIST-vs-FMNIST pairing, ``scale_experiments/evaluate.py:236-351``).
+    Returns the metrics record dict (shared by the CI test and the
+    ``results/digits_mini_e2e.jsonl`` writer).
+    """
+    from laplace_inducing_points_tpu.data.loader import (ArrayDataset,
+                                                         make_dataloaders)
+    from laplace_inducing_points_tpu.data.scale import load_arrays
+    from laplace_inducing_points_tpu.evaluation.harness import (
+        auroc_ood, eval_dataset_extended)
+    from laplace_inducing_points_tpu.inference.lla import ScalableLLAPredictor
+    from laplace_inducing_points_tpu.models.scale import LargeClassifier
+    from laplace_inducing_points_tpu.models.state import create_train_state
+    from laplace_inducing_points_tpu.training.inducing import (
+        train_inducing_points)
+    from laplace_inducing_points_tpu.training.map import map_step
+
+    x, y = load_arrays("mnist", train=True, root=FIXTURE,
+                       allow_synthetic=False)
+    xt, yt = load_arrays("mnist", train=False, root=FIXTURE,
+                         allow_synthetic=False)
+    id_tr = y < 5
+    id_te, ood_te = yt < 5, yt >= 5
+    xtr, ytr = jnp.asarray(x[id_tr]), jnp.asarray(y[id_tr])
+    xte, yte = xt[id_te], yt[id_te]
+    xood, yood = xt[ood_te], yt[ood_te] - 5      # labels unused for OOD
+
+    model = LargeClassifier(input_shape=(8, 8, 1), num_hidden=[32],
+                            num_layers=1, num_classes=5)
+    state = create_train_state(model, jax.random.PRNGKey(seed), xtr[:1],
+                               optax.adam(5e-3), model_kind="classifier")
+    for _ in range(80):
+        state, _ = map_step(state, (xtr, ytr), 1e-4)
+
+    # inducing points: M=12 real images, gram objective on full-batch X
+    N = int(xtr.shape[0])
+    Z = train_inducing_points(
+        state, xtr[:12], optax.adam(5e-2),
+        batches=iter(lambda: (xtr, ytr), None),    # infinite full batches
+        alpha=0.1, num_steps=15, full_set_size=N, objective="gram",
+        verbose=False)
+
+    _, test_loader, _ = make_dataloaders(
+        ArrayDataset(np.asarray(xtr), np.asarray(ytr)),
+        ArrayDataset(xte, yte), ArrayDataset(xte, yte), 20)
+    _, ood_loader, _ = make_dataloaders(
+        ArrayDataset(xood, yood), ArrayDataset(xood, yood),
+        ArrayDataset(xood, yood), 20)
+
+    pred = ScalableLLAPredictor(state, Z, full_set_size=N,
+                                range_clip_min=1.0)
+    rec = eval_dataset_extended(
+        state, test_loader, Z, alpha=0.1, full_set_size=N,
+        num_mc_samples=num_mc, rng=jax.random.PRNGKey(1), predictor=pred)
+    rec["ood_auroc"] = auroc_ood(
+        state, rec["probs"], ood_loader, Z, alpha=0.1, full_set_size=N,
+        num_mc_samples=num_mc, rng=jax.random.PRNGKey(2), predictor=pred)
+    rec["n_train"], rec["n_test"], rec["n_ood"] = (
+        int(xtr.shape[0]), int(xte.shape[0]), int(xood.shape[0]))
+    return rec
+
+
+def test_full_pipeline_on_real_digits():
+    """CI: the complete MAP->inducing->IP-LLA->OOD pipeline on real images
+    (round-2 VERDICT item 5). Asserts learning, calibration finiteness and
+    genuine OOD separation on held-out real classes."""
+    rec = _digits_full_pipeline()
+    assert rec["acc"] > 0.6, rec
+    assert np.isfinite(rec["nll"]) and np.isfinite(rec["ece"])
+    assert rec["nll"] < 1.2, rec
+    assert rec["ood_auroc"] > 0.6, rec

@@ -319,6 +319,20 @@ def main():
     log(f"[bench] posterior draws (S^-1/2 on {P} eps): "
         f"{t_draw * 1e3:.3f} ms/batch ({P / t_draw:.0f} draws/s)")
 
+    # Matheron factor build (round 3): exact draws need only a Cholesky of
+    # C = βG + αI — no d_z×d_z eigh (the weak TPU op above). Same rows+SYRK
+    # prologue, so the delta vs t_factor is pure eigh-vs-cholesky.
+    from laplace_inducing_points_tpu.core.operators import ensure_symmetry
+
+    def matheron_factor(z):
+        Rb = build_R(z)
+        C = s_beta * syrk(Rb) + s_alpha * jnp.eye(d_z, dtype=Rb.dtype)
+        L = jnp.linalg.cholesky(ensure_symmetry(C, jitter=0.0))
+        return z * (1.0 + 0.0 * L[0, 0])
+    t_mfac, _ = slope_time(matheron_factor, x)
+    log(f"[bench] matheron factor build (rows+syrk+cholesky, d_z={d_z}): "
+        f"{t_mfac * 1e3:.3f} ms ({t_factor / t_mfac:.1f}x vs eigh build)")
+
     # reference-style: per-call (runtime >> dispatch latency)
     slow = make_reference_style(state, x)
     out_slow = slow(probes)
@@ -369,7 +383,14 @@ def main():
     except Exception:
         log("[bench] no CPU baseline record — reporting same-chip ratio")
 
-    on_cpu_fallback = os.environ.get("_LIPT_BENCH_CPU") == "1"
+    # fallback = the watchdog re-exec'd us OR we simply aren't on a TPU
+    # (e.g. someone ran bench.py under JAX_PLATFORMS=cpu directly) — either
+    # way mfu against a nominal CPU peak is fiction and must be null
+    _dev = jax.devices()[0]
+    _is_tpu = ("tpu" in str(getattr(_dev, "device_kind", "")).lower()
+               or _dev.platform == "tpu")
+    on_cpu_fallback = (os.environ.get("_LIPT_BENCH_CPU") == "1"
+                       or not _is_tpu)
     suffix = "_cpu_fallback" if on_cpu_fallback else ""
     # on fallback there is no meaningful peak to normalize against — a CPU
     # "MFU" in the official artifact invites misreading (VERDICT r2 weak #2)
@@ -387,6 +408,7 @@ def main():
         "r_build_ms": round(t_build * 1e3, 3),
         "sampler_draws_per_sec": round(P / t_draw, 2),
         "factor_build_ms": round(t_factor * 1e3, 3),
+        "matheron_factor_build_ms": round(t_mfac * 1e3, 3),
         "dispatch_latency_ms": round(latency_ms, 1),
         "same_chip_ratio": round(same_chip_ratio, 1),
         "peak_tflops_assumed": None if on_cpu_fallback else peak,

@@ -127,6 +127,53 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
     return apply
 
 
+def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
+                          full_set_size: Optional[int] = None,
+                          example_block: Optional[int] = None):
+    """Exact posterior draws WITHOUT any matrix square root (round 3).
+
+    Matheron's rule for the low-rank-plus-identity precision
+    ``S = αI + β W Wᵀ``: with ``C = βG + αI`` (``G = WᵀW``),
+
+        θ = α^{-1/2} (ε₁ − √β·W C⁻¹ (√β·Wᵀ ε₁ + √α η)),
+        ε₁ ~ N(0, I_D),  η ~ N(0, I_d)  independent,
+
+    has covariance exactly ``α^{-1}(I − √β W C⁻¹ √β Wᵀ) = S⁻¹`` (Woodbury)
+    — verify: with ``A = C⁻¹``, ``Cov·α = I − W̃(2A − A C A)W̃ᵀ =
+    I − W̃ C⁻¹ W̃ᵀ``. The spectral path (:func:`make_inv_matsqrt`) needs a
+    ``d×d`` **eigh** — the dominant cost of its factor build and a weak op
+    on TPU; Matheron needs only a Cholesky of the always-PD ``C`` (PD for
+    every α>0 even when ``G`` is rank-deficient, with no pseudo-inverse
+    masking), so the build is ~d³/3 MXU work and each draw is two
+    HIGHEST-precision matmuls + one triangular solve pair. No reference
+    analog (``/root/reference/src/sample.py`` only has the
+    Fasi–Higham–Liu inverse-sqrt); the reference's clip-at-1 semantics is
+    a spectral-path-only feature.
+
+    Returns ``apply(eps (P, D), eta (P, d)) -> (P, D)`` plus ``d`` so the
+    caller can shape ``eta``.
+    """
+    from laplace_inducing_points_tpu.training.inducing import _pivot_jitter
+
+    M = Z.shape[0]
+    N = full_set_size or M
+    beta = N / M
+    R = ops.dense_wt(state, Z, example_block=example_block)    # (d, D)
+    d = R.shape[0]
+    C = beta * syrk(R) + alpha * jnp.eye(d, dtype=R.dtype)
+    L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
+                            + _pivot_jitter(C) * jnp.eye(d, dtype=C.dtype))
+    sqrt_alpha = jnp.sqrt(alpha)
+    sqrt_beta = jnp.sqrt(beta)
+
+    def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
+        U = sqrt_beta * ops.pdot(eps, R.T) + sqrt_alpha * eta  # (P, d)
+        X = jax.scipy.linalg.cho_solve((L, True), U.T).T       # (P, d)
+        return (eps - sqrt_beta * ops.pdot(X, R)) / sqrt_alpha
+
+    return apply, d
+
+
 def make_inv_matsqrt_lanczos(state: Any, Z: jnp.ndarray, alpha,
                              full_set_size: Optional[int] = None,
                              num_matvecs: Optional[int] = None,
@@ -192,6 +239,13 @@ def sample(state: Any, Z: jnp.ndarray, alpha, key: jax.Array, *,
     """
     from laplace_inducing_points_tpu.core.params import flatten_nn_params
     D = flatten_nn_params(state.params)[0].shape[0]
+    if method == "matheron":
+        k1, k2 = jax.random.split(key)
+        apply2, d = make_matheron_sampler(state, Z, alpha, full_set_size,
+                                          **kwargs)
+        eps = jax.random.normal(k1, (num_samples, D))
+        eta = jax.random.normal(k2, (num_samples, d))
+        return apply2(eps, eta)
     eps = jax.random.normal(key, (num_samples, D))
     if method == "gram_eigh":
         apply = make_inv_matsqrt(state, Z, alpha, full_set_size, **kwargs)

@@ -38,7 +38,7 @@ MAP_DEFAULTS = {
 
 SAMPLING_DEFAULTS = {
     "mc_samples": 100,
-    "method": "gram_eigh",      # or "lanczos"
+    "method": "gram_eigh",      # or "lanczos" / "matheron" (exact, no eigh)
     "invsqrt_num_matvecs": None,
 }
 

@@ -102,3 +102,40 @@ def test_nullspace_range_split():
     apply = smp.make_inv_matsqrt(state, Z, alpha)
     out = apply(v_ker[None])[0]
     assert jnp.allclose(out, v_ker / jnp.sqrt(alpha), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("case", ["regressor", "classifier"])
+def test_matheron_covariance_is_exact(case):
+    """The Matheron draw θ = Aε₁ + Bη must satisfy AAᵀ + BBᵀ = S⁻¹ EXACTLY
+    (an algebraic identity — no Monte Carlo tolerance). A and B are
+    extracted by pushing basis vectors through the sampler."""
+    if case == "regressor":
+        _, state = mlp_regressor_state()
+        Z = XS_1D
+    else:
+        _, state, (x, _) = classifier_state()
+        Z = x[:5]
+    alpha, N = 0.3, 17
+    apply, d = smp.make_matheron_sampler(state, Z, alpha, full_set_size=N)
+    D = _dense_S(state, Z, alpha, N).shape[0]
+
+    A = apply(jnp.eye(D), jnp.zeros((D, d)))          # rows = (A e_p)ᵀ
+    B_rows = apply(jnp.zeros((d, D)), jnp.eye(d))     # rows = (B e_q)ᵀ
+    cov = ops.pdot(A.T, A) + ops.pdot(B_rows.T, B_rows)
+    S_inv = jnp.linalg.inv(_dense_S(state, Z, alpha, N))
+    scale = jnp.max(jnp.abs(S_inv))
+    assert jnp.max(jnp.abs(cov - S_inv)) < 5e-4 * scale
+
+
+def test_matheron_sample_moments():
+    """Drawn samples: zero mean, covariance approaching S⁻¹ (MC band)."""
+    _, state = mlp_regressor_state()
+    alpha = 0.5
+    n = 4000
+    th = smp.sample(state, XS_1D, alpha, jax.random.PRNGKey(0),
+                    num_samples=n, method="matheron")
+    S_inv = jnp.linalg.inv(_dense_S(state, XS_1D, alpha))
+    emp = ops.pdot(th.T, th) / n
+    sd = jnp.sqrt(jnp.diag(S_inv))
+    assert jnp.max(jnp.abs(jnp.mean(th, 0)) / sd) < 0.1
+    assert jnp.max(jnp.abs(emp - S_inv)) < 0.15 * jnp.max(jnp.abs(S_inv))

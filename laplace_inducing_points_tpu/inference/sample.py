@@ -129,7 +129,10 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
 
 def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
                           full_set_size: Optional[int] = None,
-                          example_block: Optional[int] = None):
+                          example_block: Optional[int] = None,
+                          materialize_w: bool = True,
+                          cg_tol: float = 1e-6,
+                          cg_maxiter: Optional[int] = None):
     """Exact posterior draws WITHOUT any matrix square root (round 3).
 
     Matheron's rule for the low-rank-plus-identity precision
@@ -150,6 +153,17 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
     Fasi–Higham–Liu inverse-sqrt); the reference's clip-at-1 semantics is
     a spectral-path-only feature.
 
+    ``materialize_w=False`` pairs with the ``stochastic_matfree`` KL
+    objective to give a COMPLETELY ``d_z``-unbounded pipeline: the
+    Cholesky becomes a CG solve against the matrix-free operator
+    ``u ↦ β·Wᵀ(W u) + α·u`` (each iteration = one jvp+vjp pair of the
+    batched model), so neither the ``d×D`` row factor nor the ``d×d``
+    Gram ever exists. Note the matrix-free contraction runs at model
+    precision (jvp/vjp), not ``pdot``-HIGHEST — on TPU prefer the
+    materialized path whenever ``d×D`` fits (see the precision policy in
+    ``core.operators.pdot``); the matrix-free path is the scaling escape
+    hatch, exact on CPU f32.
+
     Returns ``apply(eps (P, D), eta (P, d)) -> (P, D)`` plus ``d`` so the
     caller can shape ``eta``.
     """
@@ -158,18 +172,40 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
     M = Z.shape[0]
     N = full_set_size or M
     beta = N / M
-    R = ops.dense_wt(state, Z, example_block=example_block)    # (d, D)
-    d = R.shape[0]
-    C = beta * syrk(R) + alpha * jnp.eye(d, dtype=R.dtype)
-    L = jnp.linalg.cholesky(ops.ensure_symmetry(C, jitter=0.0)
-                            + _pivot_jitter(C) * jnp.eye(d, dtype=C.dtype))
     sqrt_alpha = jnp.sqrt(alpha)
     sqrt_beta = jnp.sqrt(beta)
 
+    if materialize_w:
+        R = ops.dense_wt(state, Z, example_block=example_block)  # (d, D)
+        d = R.shape[0]
+        C = beta * syrk(R) + alpha * jnp.eye(d, dtype=R.dtype)
+        L = jnp.linalg.cholesky(
+            ops.ensure_symmetry(C, jitter=0.0)
+            + _pivot_jitter(C) * jnp.eye(d, dtype=C.dtype))
+
+        def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
+            U = sqrt_beta * ops.pdot(eps, R.T) + sqrt_alpha * eta  # (P, d)
+            X = jax.scipy.linalg.cho_solve((L, True), U.T).T       # (P, d)
+            return (eps - sqrt_beta * ops.pdot(X, R)) / sqrt_alpha
+
+        return apply, d
+
+    w = ops.make_w_factor(state, Z, full_set_size=None)
+    M_, K_ = w.inner_shape
+    d = M_ * K_
+
+    def c_matvec(u: jnp.ndarray) -> jnp.ndarray:                 # (d,)->(d,)
+        gu = w.t_matvec(w.matvec(u.reshape(M_, K_))).reshape(d)
+        return beta * gu + alpha * u
+
     def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
-        U = sqrt_beta * ops.pdot(eps, R.T) + sqrt_alpha * eta  # (P, d)
-        X = jax.scipy.linalg.cho_solve((L, True), U.T).T       # (P, d)
-        return (eps - sqrt_beta * ops.pdot(X, R)) / sqrt_alpha
+        U = (sqrt_beta * w.t_matmat(eps).reshape(eps.shape[0], d)
+             + sqrt_alpha * eta)                                  # (P, d)
+        solve = lambda u: jax.scipy.sparse.linalg.cg(
+            c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d)[0]
+        X = jax.vmap(solve)(U)                                    # (P, d)
+        corr = w.matmat(X.reshape(-1, M_, K_))                    # (P, D)
+        return (eps - sqrt_beta * corr) / sqrt_alpha
 
     return apply, d
 

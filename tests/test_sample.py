@@ -139,3 +139,22 @@ def test_matheron_sample_moments():
     sd = jnp.sqrt(jnp.diag(S_inv))
     assert jnp.max(jnp.abs(jnp.mean(th, 0)) / sd) < 0.1
     assert jnp.max(jnp.abs(emp - S_inv)) < 0.15 * jnp.max(jnp.abs(S_inv))
+
+
+def test_matheron_matrix_free_matches_materialized():
+    """The CG-based matrix-free Matheron apply must equal the Cholesky-based
+    materialized one on identical (ε₁, η) inputs at tight cg_tol."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:5]
+    alpha, N = 0.3, 17
+    ap_mat, d = smp.make_matheron_sampler(state, Z, alpha, full_set_size=N)
+    ap_free, d2 = smp.make_matheron_sampler(state, Z, alpha, full_set_size=N,
+                                            materialize_w=False, cg_tol=1e-10)
+    assert d == d2
+    D = smp.ops.dense_wt(state, Z).shape[1]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    eps = jax.random.normal(k1, (7, D))
+    eta = jax.random.normal(k2, (7, d))
+    a, b = ap_mat(eps, eta), ap_free(eps, eta)
+    scale = jnp.max(jnp.abs(a)) + 1e-8
+    assert jnp.max(jnp.abs(a - b)) < 1e-4 * scale

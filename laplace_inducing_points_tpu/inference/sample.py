@@ -127,6 +127,14 @@ def make_inv_matsqrt(state: Any, Z: jnp.ndarray, alpha,
     return apply
 
 
+@jax.jit
+def _matheron_apply_dense(R, L, sqrt_alpha, sqrt_beta, eps, eta):
+    """One Matheron draw batch from explicit factors (see caller)."""
+    U = sqrt_beta * ops.pdot(eps, R.T) + sqrt_alpha * eta      # (P, d)
+    X = jax.scipy.linalg.cho_solve((L, True), U.T).T           # (P, d)
+    return (eps - sqrt_beta * ops.pdot(X, R)) / sqrt_alpha
+
+
 def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
                           full_set_size: Optional[int] = None,
                           example_block: Optional[int] = None,
@@ -184,9 +192,13 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
             + _pivot_jitter(C) * jnp.eye(d, dtype=C.dtype))
 
         def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
-            U = sqrt_beta * ops.pdot(eps, R.T) + sqrt_alpha * eta  # (P, d)
-            X = jax.scipy.linalg.cho_solve((L, True), U.T).T       # (P, d)
-            return (eps - sqrt_beta * ops.pdot(X, R)) / sqrt_alpha
+            # R/L ride as arguments of the module-level jit, NOT closure
+            # constants: closing over a (d, D) factor inlines it into the
+            # lowered HLO (GBs of literals at real shapes — blows the
+            # remote-compile relay's request limit). Callers need not (and
+            # should not) re-jit `apply`.
+            return _matheron_apply_dense(R, L, sqrt_alpha, sqrt_beta,
+                                         eps, eta)
 
         return apply, d
 

@@ -357,14 +357,17 @@ def optimize_step_chunked(Z, X, state, alpha, opt_state, key=None, *,
 
 @partial(jax.jit, static_argnames=("objective", "optimizer", "full_set_size",
                                    "st_samples", "slq_samples",
-                                   "slq_num_matvecs", "example_block"))
+                                   "slq_num_matvecs", "example_block",
+                                   "cg_tol", "cg_maxiter"))
 def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   objective: str = "gram",
                   optimizer: optax.GradientTransformation,
                   full_set_size: Optional[int] = None,
                   st_samples: int = 256, slq_samples: int = 2,
                   slq_num_matvecs: Optional[int] = None,
-                  example_block: Optional[int] = None):
+                  example_block: Optional[int] = None,
+                  cg_tol: float = 1e-6,
+                  cg_maxiter: Optional[int] = None):
     """One jitted gradient step on Z (parity: ``optimize_step``,
     ``/root/reference/src/train_inducing.py:199-232``)."""
     kwargs = dict(full_set_size=full_set_size)
@@ -373,6 +376,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
     if objective.startswith("stochastic"):
         kwargs.update(st_samples=st_samples, slq_samples=slq_samples,
                       slq_num_matvecs=slq_num_matvecs)
+    if objective == "stochastic_matfree":
+        kwargs.update(cg_tol=cg_tol, cg_maxiter=cg_maxiter)
     loss, grads = jax.value_and_grad(OBJECTIVES[objective])(
         Z, X, state, alpha, key, **kwargs)
     updates, new_opt_state = optimizer.update(grads, opt_state, Z)
@@ -388,6 +393,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                           st_samples: int = 256, slq_samples: int = 2,
                           slq_num_matvecs: Optional[int] = None,
                           example_block: Optional[int] = None,
+                          cg_tol: float = 1e-6,
+                          cg_maxiter: Optional[int] = None,
                           callback: Optional[Callable] = None,
                           checkpoint_dir: Optional[str] = None,
                           checkpoint_name: str = "ind",
@@ -416,7 +423,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                 objective=objective, optimizer=optimizer,
                 full_set_size=full_set_size, st_samples=st_samples,
                 slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
-                example_block=example_block)
+                example_block=example_block, cg_tol=cg_tol,
+                cg_maxiter=cg_maxiter)
         check = step % 10 == 0 or step == num_steps - 1
         if check or callback is not None:
             loss_f = float(loss)

@@ -144,7 +144,11 @@ def main() -> None:
             cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter)
         eps = jax.random.normal(jax.random.PRNGKey(5), (args.probes, D))
         eta = jax.random.normal(jax.random.PRNGKey(6), (args.probes, d))
-        fn = jax.jit(apply)
+        # materialized apply is internally jitted with R/L as ARGUMENTS;
+        # re-jitting the closure would inline the (d, D) factor as HLO
+        # constants (GBs -> relay request-limit blowup). The matfree apply
+        # has no big captures, so jit the whole CG program.
+        fn = apply if materialize else jax.jit(apply)
         t, out = timed(fn, eps, eta)
         return t, d, out
 

@@ -140,7 +140,9 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
                           example_block: Optional[int] = None,
                           materialize_w: bool = True,
                           cg_tol: float = 1e-6,
-                          cg_maxiter: Optional[int] = None):
+                          cg_maxiter: Optional[int] = None,
+                          precond_rank: Optional[int] = None,
+                          precond_key: Optional[jax.Array] = None):
     """Exact posterior draws WITHOUT any matrix square root (round 3).
 
     Matheron's rule for the low-rank-plus-identity precision
@@ -211,10 +213,24 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
         return beta * gu + alpha * u
 
     def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
+        precond = None
+        if precond_rank:
+            from laplace_inducing_points_tpu.ops.nystrom import (
+                nystrom_preconditioner)
+
+            def gram_mm(V):                       # rows scaled: β·G action
+                return beta * w.t_matmat(
+                    w.matmat(V.reshape(-1, M_, K_))).reshape(-1, d)
+
+            precond = nystrom_preconditioner(
+                gram_mm, d, precond_rank, alpha,
+                precond_key if precond_key is not None
+                else jax.random.PRNGKey(0x4E59))
         U = (sqrt_beta * w.t_matmat(eps).reshape(eps.shape[0], d)
              + sqrt_alpha * eta)                                  # (P, d)
         solve = lambda u: jax.scipy.sparse.linalg.cg(
-            c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d)[0]
+            c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d,
+            M=precond)[0]
         X = jax.vmap(solve)(U)                                    # (P, d)
         corr = w.matmat(X.reshape(-1, M_, K_))                    # (P, D)
         return (eps - sqrt_beta * corr) / sqrt_alpha

@@ -146,7 +146,8 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
                             slq_num_matvecs: Optional[int] = None,
                             materialize_w: bool = True,
                             cg_tol: float = 1e-6,
-                            cg_maxiter: Optional[int] = None
+                            cg_maxiter: Optional[int] = None,
+                            precond_rank: Optional[int] = None
                             ) -> jnp.ndarray:
     """Hutch++ trace + SLQ logdet with shared Rademacher probes.
 
@@ -201,9 +202,26 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
             gu = wz.t_matvec(wz.matvec(u.reshape(Mk, Kk))).reshape(d_z)
             return gu + (alpha / beta) * u
 
+        precond = None
+        if precond_rank:
+            from laplace_inducing_points_tpu.ops.nystrom import (
+                nystrom_preconditioner)
+
+            def gram_mm(V):                       # (k, d_z) -> (k, d_z)
+                return wz.t_matmat(
+                    wz.matmat(V.reshape(-1, Mk, Kk))).reshape(-1, d_z)
+
+            # fold_in keeps the estimator probes' key stream untouched, so
+            # precond on/off changes CG convergence only, never the value
+            # being estimated.
+            precond = nystrom_preconditioner(
+                gram_mm, d_z, precond_rank, alpha / beta,
+                jax.random.fold_in(key, 0x4E59))
+
         def c_solve(u):
             x, _ = jax.scipy.sparse.linalg.cg(
-                c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d_z)
+                c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d_z,
+                M=precond)
             return x
 
     def sz_inv_vp(v):
@@ -358,7 +376,7 @@ def optimize_step_chunked(Z, X, state, alpha, opt_state, key=None, *,
 @partial(jax.jit, static_argnames=("objective", "optimizer", "full_set_size",
                                    "st_samples", "slq_samples",
                                    "slq_num_matvecs", "example_block",
-                                   "cg_tol", "cg_maxiter"))
+                                   "cg_tol", "cg_maxiter", "precond_rank"))
 def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   objective: str = "gram",
                   optimizer: optax.GradientTransformation,
@@ -367,7 +385,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   slq_num_matvecs: Optional[int] = None,
                   example_block: Optional[int] = None,
                   cg_tol: float = 1e-6,
-                  cg_maxiter: Optional[int] = None):
+                  cg_maxiter: Optional[int] = None,
+                  precond_rank: Optional[int] = None):
     """One jitted gradient step on Z (parity: ``optimize_step``,
     ``/root/reference/src/train_inducing.py:199-232``)."""
     kwargs = dict(full_set_size=full_set_size)
@@ -377,7 +396,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
         kwargs.update(st_samples=st_samples, slq_samples=slq_samples,
                       slq_num_matvecs=slq_num_matvecs)
     if objective == "stochastic_matfree":
-        kwargs.update(cg_tol=cg_tol, cg_maxiter=cg_maxiter)
+        kwargs.update(cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                      precond_rank=precond_rank)
     loss, grads = jax.value_and_grad(OBJECTIVES[objective])(
         Z, X, state, alpha, key, **kwargs)
     updates, new_opt_state = optimizer.update(grads, opt_state, Z)
@@ -395,6 +415,7 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                           example_block: Optional[int] = None,
                           cg_tol: float = 1e-6,
                           cg_maxiter: Optional[int] = None,
+                          precond_rank: Optional[int] = None,
                           callback: Optional[Callable] = None,
                           checkpoint_dir: Optional[str] = None,
                           checkpoint_name: str = "ind",
@@ -424,7 +445,7 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                 full_set_size=full_set_size, st_samples=st_samples,
                 slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
                 example_block=example_block, cg_tol=cg_tol,
-                cg_maxiter=cg_maxiter)
+                cg_maxiter=cg_maxiter, precond_rank=precond_rank)
         check = step % 10 == 0 or step == num_steps - 1
         if check or callback is not None:
             loss_f = float(loss)

@@ -86,11 +86,20 @@ def main() -> None:
                    help="shape where materialized and matfree both fit")
     p.add_argument("--m_large", type=int, default=6144,
                    help="shape where only matfree fits (R > HBM)")
+    p.add_argument("--m_large_grad", type=int, default=4096,
+                   help="large shape for the objective GRAD step — the "
+                        "CG-under-grad additionally holds the remat'd "
+                        "batched-model activations (M, 28, 28, 6), which "
+                        "OOMs at 6144 (16.4G > 15.75G HBM); at 4096 the "
+                        "materialized path is still impossible "
+                        "(R 9.4 GiB + Gram 6.7 GiB > HBM)")
     p.add_argument("--probes", type=int, default=8)
     p.add_argument("--st_samples", type=int, default=16)
     p.add_argument("--slq_matvecs", type=int, default=64)
     p.add_argument("--cg_tol", type=float, default=1e-3)
     p.add_argument("--cg_maxiter", type=int, default=100)
+    p.add_argument("--precond_rank", type=int, default=64,
+                   help="Nyström sketch rank for the preconditioned row")
     p.add_argument("--alpha", type=float, default=50.0)
     p.add_argument("--data_batch", type=int, default=256)
     p.add_argument("--full_set", type=int, default=60000)
@@ -115,6 +124,9 @@ def main() -> None:
         kw["hbm_gib_in_use"] = hbm_gib()
         rows.append(kw)
         log("[matfree] " + json.dumps(kw))
+        if args.out:                      # incremental: survive a crash
+            with open(args.out, "a" if rows[1:] else "w") as f:
+                f.write(json.dumps(kw) + "\n")
 
     def objective_step(M: int, materialize: bool, with_grad: bool):
         Z = jax.random.normal(jax.random.PRNGKey(3), (M, 28, 28, 1))
@@ -136,12 +148,14 @@ def main() -> None:
             gnorm = None
         return t, float(np.asarray(val)), gnorm
 
-    def sampler_draws(M: int, materialize: bool):
+    def sampler_draws(M: int, materialize: bool, precond_rank=None):
         Z = jax.random.normal(jax.random.PRNGKey(3), (M, 28, 28, 1))
         apply, d = make_matheron_sampler(
             state, Z, args.alpha, full_set_size=args.full_set,
             materialize_w=materialize,
-            cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter)
+            cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
+            precond_rank=precond_rank,
+            precond_key=jax.random.PRNGKey(8))
         eps = jax.random.normal(jax.random.PRNGKey(5), (args.probes, D))
         eta = jax.random.normal(jax.random.PRNGKey(6), (args.probes, d))
         # materialized apply is internally jitted with R/L as ARGUMENTS;
@@ -166,7 +180,17 @@ def main() -> None:
            cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
            rel_vs_materialized=f"{rel:.2e}",
            tax_x=round(t_mf / t_mat, 1))
-    del draws_mat, draws_mf
+    t_pc, _, draws_pc = sampler_draws(Ms, materialize=False,
+                                      precond_rank=args.precond_rank)
+    rel_pc = float(jnp.max(jnp.abs(draws_pc - draws_mat))
+                   / (jnp.max(jnp.abs(draws_mat)) + 1e-12))
+    record(op="matheron_draws", path="matfree_cg_nystrom", M=Ms, d_z=d_s,
+           D=D, probes=args.probes, seconds=round(t_pc, 3),
+           cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
+           precond_rank=args.precond_rank,
+           rel_vs_materialized=f"{rel_pc:.2e}",
+           tax_x=round(t_pc / t_mat, 1))
+    del draws_mat, draws_mf, draws_pc
 
     t_omat, v_omat, g_omat = objective_step(Ms, materialize=True,
                                             with_grad=True)
@@ -193,16 +217,18 @@ def main() -> None:
            materialized_r_gib=round(r_gib, 1),
            cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter)
     if not args.skip_grad_large:
-        t_ol, v_ol, g_ol = objective_step(Ml, materialize=False,
+        Mg = args.m_large_grad
+        d_g = Mg * 10
+        rg_gib = d_g * D * 4 / 2**30
+        t_ol, v_ol, g_ol = objective_step(Mg, materialize=False,
                                           with_grad=True)
-        record(op="kl_objective_grad", path="matfree_cg", M=Ml, d_z=d_l,
+        record(op="kl_objective_grad", path="matfree_cg", M=Mg, d_z=d_g,
                seconds=round(t_ol, 3), value=round(v_ol, 2),
-               grad_norm=round(g_ol, 4), materialized_r_gib=round(r_gib, 1))
+               grad_norm=round(g_ol, 4),
+               materialized_r_plus_gram_gib=round(
+                   rg_gib + d_g * d_g * 4 / 2**30, 1))
 
     if args.out:
-        with open(args.out, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
         log(f"[matfree] wrote {len(rows)} rows to {args.out}")
 
 

@@ -1,0 +1,166 @@
+"""Randomized Nyström preconditioner (ops/nystrom.py): SPD-ness,
+deflation quality, CG acceleration, and agreement of the preconditioned
+matrix-free paths with their materialized twins.
+
+The preconditioner must never change WHAT the CG converges to — only how
+fast — so every integration test here asserts equality with the
+unpreconditioned/materialized result, and the unit tests check the
+operator-level contract (symmetric PD, condition-number deflation).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fixtures import classifier_state
+from laplace_inducing_points_tpu.ops.nystrom import nystrom_preconditioner
+from laplace_inducing_points_tpu.training import inducing as ind
+from laplace_inducing_points_tpu.inference import sample as smp
+
+
+def _frontloaded_psd(d=64, lam_max=1e3, rank=16, seed=0):
+    """Random-rotation PSD matrix with a GGN-like front-loaded spectrum:
+    `rank` eigenvalues log-spaced down from lam_max, the rest exactly 0.
+
+    lam_max is capped so that κ(G+ρI) stays below 1/eps_f32 ≈ 8e6 at the
+    ρ the tests use: materializing the rotation in f32 perturbs the zero
+    modes by ~eps·λ_max, and beyond that κ the perturbation swamps ρ —
+    C becomes numerically singular and NO solver attains the tolerance
+    (observed: x_true components of O(λ_max) along the noise modes)."""
+    lam = jnp.concatenate([
+        lam_max * jnp.logspace(0.0, -2.0, rank),
+        jnp.zeros(d - rank)])
+    Q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(seed), (d, d)))
+    return (Q * lam) @ Q.T, lam
+
+
+def test_preconditioner_is_spd_and_deflates():
+    d, rho = 64, 1e-2
+    G, lam = _frontloaded_psd(d)
+    apply_p = nystrom_preconditioner(lambda V: V @ G, d, rank=24, rho=rho,
+                                     key=jax.random.PRNGKey(1))
+    P_inv = apply_p(jnp.eye(d))                       # rows = (P⁻¹ eᵢ)ᵀ
+    assert jnp.max(jnp.abs(P_inv - P_inv.T)) < 1e-5   # symmetric
+    # deflation_floor keeps P⁻¹'s spectrum in [floor·(1−ε), 1+ε] — a
+    # genuinely PD matrix even materialized in f32 (without the floor, the
+    # zero modes pull λ̂_min to 0 and P⁻¹'s smallest eigenvalue to
+    # ρ/λ̂_max ≈ 1e-7, i.e. round-off-indefinite).
+    ev_p = jnp.linalg.eigvalsh(0.5 * (P_inv + P_inv.T))
+    assert jnp.min(ev_p) > 0.5e-5, float(jnp.min(ev_p))
+
+    C = G + rho * jnp.eye(d)
+    # κ of the preconditioned system via congruence: P⁻¹ = LLᵀ ⇒
+    # spec(P⁻¹C) = spec(LᵀCL) (symmetrizing the NONsymmetric product
+    # P⁻¹C is not valid — it can be indefinite even when P⁻¹C has
+    # positive spectrum).
+    Lp = jnp.linalg.cholesky(0.5 * (P_inv + P_inv.T))
+    ev = jnp.linalg.eigvalsh(Lp.T @ C @ Lp)
+    kappa_pre = jnp.max(ev) / jnp.min(ev)
+    kappa_plain = (lam[0] + rho) / rho                # ≈ 1e7
+    # rank 24 covers the whole 16-dim range space; residual κ is
+    # max(λ̂_max·floor, ρ)/ρ ≈ 100 here
+    assert kappa_pre < 1e-3 * kappa_plain, (float(kappa_pre),
+                                            float(kappa_plain))
+
+
+def test_precond_cg_beats_plain_cg():
+    """At a fixed 8-iteration budget on a κ≈1e5 system, preconditioned CG
+    must be orders of magnitude more accurate than plain CG. tol stays
+    positive: forcing iterations past convergence (tol=0) hits the
+    classic post-convergence CG breakdown (round-off residuals make the
+    P⁻¹-weighted inner products indefinite → NaN) — production call
+    sites always stop on tolerance first."""
+    d, rho = 64, 1e-2
+    G, _ = _frontloaded_psd(d)
+    C = G + rho * jnp.eye(d)
+    b = jax.random.normal(jax.random.PRNGKey(2), (d,))
+    x_true = jnp.linalg.solve(C, b)
+
+    apply_p = nystrom_preconditioner(lambda V: V @ G, d, rank=24, rho=rho,
+                                     key=jax.random.PRNGKey(1))
+    matvec = lambda u: C @ u
+    x_plain, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=1e-8, maxiter=8)
+    x_pre, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=1e-8, maxiter=8,
+                                          M=apply_p)
+    err_plain = jnp.linalg.norm(x_plain - x_true) / jnp.linalg.norm(x_true)
+    err_pre = jnp.linalg.norm(x_pre - x_true) / jnp.linalg.norm(x_true)
+    assert err_pre < 1e-2 * err_plain, (float(err_pre), float(err_plain))
+    assert err_pre < 5e-3
+
+    # and with iterations to spare, the tol-stopped solve stays NaN-free
+    x_long, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=1e-8, maxiter=200,
+                                           M=apply_p)
+    err_long = jnp.linalg.norm(x_long - x_true) / jnp.linalg.norm(x_true)
+    assert jnp.isfinite(err_long) and err_long < 5e-3
+
+
+def test_matfree_objective_precond_matches_materialized():
+    """Same contract as test_matfree_stochastic_matches_materialized, with
+    the Nyström-preconditioned CG: value AND dZ-gradient agree with the
+    dense-Gram Woodbury twin at the same key."""
+    _, state, (x, _) = classifier_state()
+    Z, X = x[:5], x[:12]
+    alpha, N = 0.6, 24
+    kw = dict(full_set_size=N, st_samples=48, slq_samples=4,
+              slq_num_matvecs=8)
+    key = jax.random.PRNGKey(3)
+    v_mat, g_mat = jax.value_and_grad(ind.kl_objective_stochastic)(
+        Z, X, state, alpha, key, **kw)
+    v_pre, g_pre = jax.value_and_grad(ind.OBJECTIVES["stochastic_matfree"])(
+        Z, X, state, alpha, key, precond_rank=6, **kw)
+    assert jnp.allclose(v_mat, v_pre, rtol=1e-4, atol=1e-3), (v_mat, v_pre)
+    scale = jnp.max(jnp.abs(g_mat)) + 1e-8
+    assert jnp.max(jnp.abs(g_mat - g_pre)) < 5e-3 * scale
+
+
+def test_matheron_precond_matches_materialized():
+    """Preconditioned matrix-free Matheron draws == Cholesky-materialized
+    draws on identical (ε₁, η)."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:5]
+    alpha, N = 0.3, 17
+    ap_mat, d = smp.make_matheron_sampler(state, Z, alpha, full_set_size=N)
+    ap_pre, d2 = smp.make_matheron_sampler(
+        state, Z, alpha, full_set_size=N, materialize_w=False,
+        cg_tol=1e-10, precond_rank=6, precond_key=jax.random.PRNGKey(7))
+    assert d == d2
+    D = smp.ops.dense_wt(state, Z).shape[1]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    eps = jax.random.normal(k1, (7, D))
+    eta = jax.random.normal(k2, (7, d))
+    a, b = ap_mat(eps, eta), ap_pre(eps, eta)
+    scale = jnp.max(jnp.abs(a)) + 1e-8
+    assert jnp.max(jnp.abs(a - b)) < 1e-4 * scale
+
+
+def test_precond_path_never_materializes_gram():
+    """The (d_z, rank) sketch must not smuggle in a banned intermediate:
+    same static jaxpr walk as the unpreconditioned memory assertion."""
+    _, state, (x, _) = classifier_state()
+    Z, X = x[:5], x[:12]
+    d_z = Z.shape[0] * 2
+    from laplace_inducing_points_tpu.core.params import flatten_nn_params
+    D = flatten_nn_params(state.params)[0].shape[0]
+    assert D > d_z
+
+    fn = lambda z: ind.OBJECTIVES["stochastic_matfree"](
+        z, X, state, 0.6, jax.random.PRNGKey(0), full_set_size=24,
+        st_samples=16, slq_samples=2, slq_num_matvecs=6, precond_rank=4)
+    jaxpr = jax.make_jaxpr(jax.value_and_grad(fn))(Z)
+    banned = {(d_z, D), (D, d_z), (d_z, d_z)}
+    stack = [jaxpr.jaxpr]
+    seen = 0
+    while stack:
+        jp = stack.pop()
+        for eqn in jp.eqns:
+            seen += 1
+            for v in eqn.outvars:
+                shape = tuple(getattr(v.aval, "shape", ()))
+                assert shape not in banned, (eqn.primitive, shape)
+            for val in eqn.params.values():
+                vals = val if isinstance(val, (list, tuple)) else [val]
+                for item in vals:
+                    if hasattr(item, "jaxpr"):
+                        stack.append(item.jaxpr)
+                    elif hasattr(item, "eqns"):
+                        stack.append(item)
+    assert seen > 50

@@ -176,6 +176,8 @@ def main(argv=None):
             slq_samples=ip_cfg["slq_samples"],
             slq_num_matvecs=ip_cfg["slq_num_matvecs"],
             example_block=ip_cfg.get("example_block"),
+            cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
+            precond_rank=ip_cfg["precond_rank"],
             callback=cb)
         save_array(Z, args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
         save_run_meta(args.ckpt_induc, f"ind_{ds_name}",

@@ -169,7 +169,9 @@ def main(argv=None):
         rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
         st_samples=ip_cfg["st_samples"], slq_samples=ip_cfg["slq_samples"],
         slq_num_matvecs=ip_cfg["slq_num_matvecs"],
-        example_block=ip_cfg.get("example_block"))
+        example_block=ip_cfg.get("example_block"),
+        cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
+        precond_rank=ip_cfg["precond_rank"])
     save_array(Z, args.ckpt_induc, f"ind_{args.dataset}", ip_cfg["epochs"])
     # record the alpha this Z was trained for, so cli.evaluate's
     # "pipeline meta" precedence reproduces the operating point without a

@@ -26,6 +26,11 @@ IP_DEFAULTS = {
     "slq_num_matvecs": None,
     "objective": "gram",        # framework default: exact Gram objective
     "example_block": None,      # chunk example axis of W-row builds (memory cap)
+    # stochastic_matfree (d_z-unbounded CG-Woodbury) knobs — ignored by
+    # the other objectives:
+    "cg_tol": 1e-6,
+    "cg_maxiter": None,
+    "precond_rank": None,       # Nyström deflation rank (ops/nystrom.py)
 }
 
 MAP_DEFAULTS = {

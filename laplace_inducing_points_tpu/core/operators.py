@@ -235,7 +235,8 @@ class WFactor:
 
         # lower-triangle-only pairwise sweep: the q > p blocks are mirrors,
         # and under lax.map the lax.cond skip is real (sequential), so only
-        # nb(nb+1)/2 row-factor builds happen; diagonal blocks carry weight
+        # nb(nb+1)/2 row-factor builds happen — the diagonal (q == p) reuses
+        # the outer Rp instead of rebuilding it; diagonal blocks carry weight
         # 1/2 so the final X + Xᵀ mirror restores them exactly once.
         def outer(args):
             ib, p = args
@@ -244,9 +245,12 @@ class WFactor:
             def inner(args2):
                 jb, q = args2
                 return jax.lax.cond(
-                    q <= p,
-                    lambda: jnp.where(q == p, 0.5, 1.0) * pdot(Rp, build(jb).T),
-                    lambda: jnp.zeros((b * K, b * K), Rp.dtype))
+                    q < p,
+                    lambda: pdot(Rp, build(jb).T),
+                    lambda: jax.lax.cond(
+                        q == p,
+                        lambda: 0.5 * pdot(Rp, Rp.T),
+                        lambda: jnp.zeros((b * K, b * K), Rp.dtype)))
 
             return jax.lax.map(inner, (blocks, jnp.arange(nb)))
 

@@ -99,6 +99,10 @@ def spiral_dataset(n: int, key: jax.Array, noise: float = 0.05,
     the experiment's metrics are meaningful.
     """
     n_val = int(ring_val_frac * n)
+    if n_val > 0 and (n - n_val) % 2:
+        # the spiral generator needs an even count (two equal arms); absorb
+        # the odd remainder into the ring tail rather than crashing
+        n_val += 1
     n_spiral = n - n_val
     k1, k2 = jax.random.split(key, 2)
     x_sp, y_sp = noisy_spiral_dataset(n_spiral, k1, noise)

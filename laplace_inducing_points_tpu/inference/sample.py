@@ -182,8 +182,12 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
     M = Z.shape[0]
     N = full_set_size or M
     beta = N / M
-    sqrt_alpha = jnp.sqrt(alpha)
-    sqrt_beta = jnp.sqrt(beta)
+    # Python floats, not jnp scalars: they ride as weak-typed literals into
+    # the module-level jit, so they carry NO device commitment — a jnp
+    # scalar here is committed to the default device and collides with
+    # mesh-committed R/L/eps under jit's device-consistency check.
+    sqrt_alpha = float(jnp.sqrt(jnp.float32(alpha)))
+    sqrt_beta = float(jnp.sqrt(jnp.float32(beta)))
 
     if materialize_w:
         R = ops.dense_wt(state, Z, example_block=example_block)  # (d, D)
@@ -212,20 +216,24 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
         gu = w.t_matvec(w.matvec(u.reshape(M_, K_))).reshape(d)
         return beta * gu + alpha * u
 
+    # The Nyström preconditioner depends only on make-time state (state, Z,
+    # α, β, rank, key) — build it ONCE here, not per draw batch: its k-probe
+    # sketch costs k full Gram matvecs, comparable to a chunk of the CG work.
+    precond = None
+    if precond_rank:
+        from laplace_inducing_points_tpu.ops.nystrom import (
+            nystrom_preconditioner)
+
+        def gram_mm(V):                           # rows scaled: β·G action
+            return beta * w.t_matmat(
+                w.matmat(V.reshape(-1, M_, K_))).reshape(-1, d)
+
+        precond = nystrom_preconditioner(
+            gram_mm, d, precond_rank, alpha,
+            precond_key if precond_key is not None
+            else jax.random.PRNGKey(0x4E59))
+
     def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
-        precond = None
-        if precond_rank:
-            from laplace_inducing_points_tpu.ops.nystrom import (
-                nystrom_preconditioner)
-
-            def gram_mm(V):                       # rows scaled: β·G action
-                return beta * w.t_matmat(
-                    w.matmat(V.reshape(-1, M_, K_))).reshape(-1, d)
-
-            precond = nystrom_preconditioner(
-                gram_mm, d, precond_rank, alpha,
-                precond_key if precond_key is not None
-                else jax.random.PRNGKey(0x4E59))
         U = (sqrt_beta * w.t_matmat(eps).reshape(eps.shape[0], d)
              + sqrt_alpha * eta)                                  # (P, d)
         solve = lambda u: jax.scipy.sparse.linalg.cg(

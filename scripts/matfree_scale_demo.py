@@ -161,7 +161,9 @@ def main() -> None:
         # materialized apply is internally jitted with R/L as ARGUMENTS;
         # re-jitting the closure would inline the (d, D) factor as HLO
         # constants (GBs -> relay request-limit blowup). The matfree apply
-        # has no big captures, so jit the whole CG program.
+        # captures only model params (D,) and, when preconditioned, the
+        # (d, k) Nystrom factors -- MBs, not GBs -- so jit the whole CG
+        # program.
         fn = apply if materialize else jax.jit(apply)
         t, out = timed(fn, eps, eta)
         return t, d, out

@@ -115,6 +115,19 @@ def test_spiral_ring_val_mix_mechanism():
     np.testing.assert_array_equal(np.asarray(x[-n_val:]), np.asarray(xr))
 
 
+def test_spiral_ring_val_mix_odd_remainder():
+    # regression: n=512, frac=0.10 gives n_val=51 -> spiral remainder 461
+    # (odd) used to trip noisy_spiral's even-arms assert; the odd point is
+    # absorbed into the ring tail instead
+    n = 512
+    x, y = spiral_dataset(n, jax.random.PRNGKey(11), noise=0.05,
+                          ring_val_frac=0.10)
+    assert x.shape == (n, 2) and y.shape == (n,)
+    n_val = 52                                   # 51 rounded up to even rest
+    radii = np.linalg.norm(np.asarray(x[-n_val:]), axis=1)
+    assert (radii > 0.9).all() and (radii < 1.4).all()
+
+
 def test_ensure_toy_npz_versioned_cache(tmp_path):
     d = str(tmp_path)
     p1 = ensure_toy_npz("ring", data_dir=d, n=16, noise=0.02, seed=1)

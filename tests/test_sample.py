@@ -158,3 +158,31 @@ def test_matheron_matrix_free_matches_materialized():
     a, b = ap_mat(eps, eta), ap_free(eps, eta)
     scale = jnp.max(jnp.abs(a)) + 1e-8
     assert jnp.max(jnp.abs(a - b)) < 1e-4 * scale
+
+
+def test_matheron_preconditioner_built_once(monkeypatch):
+    """Regression (self-review r3): the Nyström preconditioner depends only
+    on make-time state, so it must be built in make_matheron_sampler — not
+    rebuilt inside every apply() call (k Gram matvecs per draw batch)."""
+    import laplace_inducing_points_tpu.inference.sample as sample_mod
+    from laplace_inducing_points_tpu.ops import nystrom
+
+    _, state, (x, _) = classifier_state()
+    Z = x[:5]
+    calls = []
+    real = nystrom.nystrom_preconditioner
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(nystrom, "nystrom_preconditioner", counting)
+    ap, d = smp.make_matheron_sampler(state, Z, 0.3, full_set_size=17,
+                                      materialize_w=False, cg_tol=1e-8,
+                                      precond_rank=4)
+    assert len(calls) == 1                      # built at make time
+    D = smp.ops.dense_wt(state, Z).shape[1]
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    ap(jax.random.normal(k1, (2, D)), jax.random.normal(k2, (2, d)))
+    ap(jax.random.normal(k2, (2, D)), jax.random.normal(k1, (2, d)))
+    assert len(calls) == 1                      # NOT rebuilt per call

@@ -70,6 +70,8 @@ def build_parser():
 def main(argv=None):
     from laplace_inducing_points_tpu.utils import setup_compile_cache
     setup_compile_cache()
+    from laplace_inducing_points_tpu.utils import acquire_tpu_lock
+    acquire_tpu_lock()   # serialize with the driver bench window
     args = build_parser().parse_args(argv)
     cfg = load_experiment_config(args.config)
     model_cfg = cfg["model"]

@@ -67,3 +67,45 @@ def setup_compile_cache(path: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_TPU_LOCK_FD = None          # held for process lifetime once acquired
+
+
+def acquire_tpu_lock(max_wait_s: float = 1800.0, verbose: bool = True) -> bool:
+    """Serialize this repo's TPU/host access through one flock.
+
+    The tunneled chip is single-client AND the single host core is the
+    bench's contact-probe budget: a leftover experiment starved the round-3
+    driver bench into a CPU-fallback artifact. Every long-running script
+    takes this lock before touching the device (``bench.py`` holds the same
+    file with a short grace window). No-op (returns True) on non-TPU
+    backends. Returns False if the wait times out — callers may proceed,
+    but should say so.
+    """
+    global _TPU_LOCK_FD
+    import os
+    import time
+    if (os.environ.get("JAX_PLATFORMS", "") or "tpu").split(",")[0] == "cpu":
+        return True
+    if _TPU_LOCK_FD is not None:
+        return True
+    import fcntl
+    fd = os.open("/tmp/lipt_tpu.lock", os.O_CREAT | os.O_RDWR, 0o666)
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            _TPU_LOCK_FD = fd
+            return True
+        except OSError:
+            if time.monotonic() >= deadline:
+                if verbose:
+                    print("[tpu-lock] WARNING: lock still held after "
+                          f"{max_wait_s:.0f}s — proceeding unserialized")
+                os.close(fd)
+                return False
+            if verbose:
+                print("[tpu-lock] waiting (another repo process holds "
+                      "the TPU)...", flush=True)
+            time.sleep(10.0)

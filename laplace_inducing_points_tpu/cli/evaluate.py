@@ -79,14 +79,29 @@ def build_parser():
                    help="chunk the MC-sample axis of the predictive "
                         "push-forward (bounds HBM at large models x large "
                         "batch); default: config sampling.sample_block")
-    p.add_argument("--predictive", choices=["weight", "cov"], default=None,
+    p.add_argument("--predictive", choices=["weight", "cov", "matfree"],
+                   default=None,
                    help="scalable predictive path: 'weight' pushes each MC "
                         "draw through a jvp (reference parity); 'cov' builds "
                         "per-image predictive statistics with K backward "
                         "passes and samples a 2K-dim Gaussian — same "
                         "distribution, ~K/S of the network work, and "
-                        "alpha-independent cached stats across repetitions. "
+                        "alpha-independent cached stats across repetitions; "
+                        "'matfree' evaluates d_z-UNBOUNDED checkpoints "
+                        "(Matheron draws via Nystrom-preconditioned CG, no "
+                        "d_z x D factor, no eigh — use for inducing sets "
+                        "beyond eigh/HBM range; exact sampler, so "
+                        "--range_clip is ignored). "
                         "Default: config sampling.predictive, else 'weight'")
+    p.add_argument("--cg_tol", type=float, default=None,
+                   help="matfree predictive: CG tolerance (default config "
+                        "sampling.cg_tol, 1e-4)")
+    p.add_argument("--cg_maxiter", type=int, default=None,
+                   help="matfree predictive: CG iteration cap (default "
+                        "10*d_z)")
+    p.add_argument("--precond_rank", type=int, default=None,
+                   help="matfree predictive: Nystrom deflation rank, 0 "
+                        "disables (default config sampling.precond_rank, 64)")
     p.add_argument("--jac_block", type=int, default=None,
                    help="image-axis chunk for the cov path's Jacobian build "
                         "(bounds (block, K, D) HBM); default config "
@@ -108,6 +123,8 @@ def build_parser():
 def main(argv=None):
     from laplace_inducing_points_tpu.utils import setup_compile_cache
     setup_compile_cache()
+    from laplace_inducing_points_tpu.utils import acquire_tpu_lock
+    acquire_tpu_lock()   # serialize with the driver bench window
     args = build_parser().parse_args(argv)
     cfg = load_experiment_config(args.config)
     model_cfg = cfg["model"]
@@ -135,8 +152,9 @@ def main(argv=None):
         # OOD evaluation protocol
         ood_kwargs = {}
         if args.ood_dataset == "ring" and args.ood_ring_radius is not None:
+            from laplace_inducing_points_tpu.data.toy import ring_cache_fname
             ood_kwargs = {"radius": args.ood_ring_radius,
-                          "fname": f"ring_r{args.ood_ring_radius:g}"}
+                          "fname": ring_cache_fname(args.ood_ring_radius)}
         _, ood_loader, _ = _loaders(args.ood_dataset,
                                     opt_cfg["map"]["batch_size"],
                                     args.data_dir, **ood_kwargs)
@@ -173,12 +191,21 @@ def main(argv=None):
                      else sampling_cfg.get("jac_block"))
         if predictive != "weight":
             print(f"[predictor] predictive method: {predictive}")
-            if mesh is not None or sample_block:
+            if predictive == "cov" and (mesh is not None or sample_block):
                 print("[predictor] NOTE: --mesh/sample_block apply only to "
                       "the weight-space push-forward; the cov path runs "
                       "replicated (its per-sample cost is a 2K x 2K matvec "
                       "— there is nothing worth sharding)")
                 mesh = None
+            if predictive == "matfree" and range_clip is not None:
+                print("[predictor] NOTE: the matfree path's Matheron "
+                      "sampler is exact — --range_clip is ignored")
+        cg_tol = (args.cg_tol if args.cg_tol is not None
+                  else sampling_cfg.get("cg_tol", 1e-4))
+        cg_maxiter = (args.cg_maxiter if args.cg_maxiter is not None
+                      else sampling_cfg.get("cg_maxiter"))
+        precond_rank = (args.precond_rank if args.precond_rank is not None
+                        else sampling_cfg.get("precond_rank", 64)) or None
         predictor = ScalableLLAPredictor(state, Z,
                                          full_set_size=full_set_size,
                                          example_block=example_block,
@@ -186,8 +213,12 @@ def main(argv=None):
                                          sample_block=sample_block,
                                          mesh=mesh,
                                          method=predictive,
-                                         jac_block=jac_block)
-        jax.block_until_ready(predictor.lam)
+                                         jac_block=jac_block,
+                                         cg_tol=cg_tol,
+                                         cg_maxiter=cg_maxiter,
+                                         precond_rank=precond_rank)
+        jax.block_until_ready(predictor.nys if predictive == "matfree"
+                              else predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")
 
     if args.max_batches:

@@ -207,15 +207,20 @@ class WFactor:
           ``M·K`` passes, peak extra memory ``d × D`` (the same order the
           old identity sweep's probe intermediates already held).
         * ``block=b`` — pairwise example blocks of ``b//K`` examples,
-          lower triangle only, under a double ``lax.map``: peak extra
-          memory ``2·b × D``, total ``~M²K²/2b`` passes (measured: 4.4×
-          faster than the identity-probe build at d=1280/block=128 on
-          CPU, 8.7× unblocked; RESULTS.md).
+          lower triangle only, under a double ``lax.map``: two row-factor
+          blocks of ``block`` Gram rows each are live at once, so peak
+          extra memory is ``2·block × D`` floats, total ``~M²K²/2·block``
+          passes (measured: 4.4× faster than the identity-probe build at
+          d=1280/block=128 on CPU, 8.7× unblocked; RESULTS.md).
 
-        ``block`` counts Gram COLUMNS per chunk (memory bound ``block×D``),
-        matching the pre-round-3 call-site semantics; it is rounded down
-        to a whole number of examples.
+        ``block`` counts Gram COLUMNS per chunk (memory bound ``block×D``
+        per live factor), matching the pre-round-3 call-site semantics; it
+        is rounded down to a whole number of examples.
         """
+        assert self.lin.inputs is not None and self.lin.f_single is not None, (
+            "WFactor.gram() needs a Linearization carrying its inputs and "
+            "per-example apply — construct it via linearize_model(), not "
+            "by hand")
         d = self.d
         M, K = self.inner_shape
         R_rows = _example_rows_fn(self.lin, self.scale)

@@ -242,6 +242,17 @@ def train_test_val_split(x: Array, y: Array,
             (x[n_test:], y[n_test:]))
 
 
+def ring_cache_fname(radius: float) -> str:
+    """Canonical cache filename for a parameterized OOD ring.
+
+    One derivation for ALL call sites (cli.evaluate, the golden tests):
+    two spellings of the same radius previously produced two cache files
+    of identical content, inviting drift if the freshness key ever missed
+    a param. Dots become 'p' so the name stays filesystem-plain.
+    """
+    return f"ring_r{radius:g}".replace(".", "p")
+
+
 def ensure_toy_npz(name: str, data_dir: str = "data", n: int = 512,
                    noise: float = 0.05, seed: int = 42,
                    fname: Optional[str] = None, **kwargs) -> str:

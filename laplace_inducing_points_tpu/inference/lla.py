@@ -179,6 +179,88 @@ def _jitted_jac_stats(state, x, R, jac_block):
     return ops.predictive_jac_stats(state, x, R, jac_block=jac_block)
 
 
+@partial(jax.jit, static_argnames=("rank",))
+def _jitted_nystrom_sketch(state, Z, beta, rank: int, key):
+    """Nyström sketch of ``β·Gzz`` for the matfree predictor, amortized per
+    ``(state, Z)`` — the ``rank`` Gram matvecs are the expensive part; the
+    α-dependent tail is O(rank) inside the per-batch step."""
+    from laplace_inducing_points_tpu.ops.nystrom import nystrom_sketch
+    w = ops.make_w_factor(state, Z, full_set_size=None)
+    M_, K_ = w.inner_shape
+    d = M_ * K_
+
+    def gram_mm(V):
+        return beta * w.t_matmat(
+            w.matmat(V.reshape(-1, M_, K_))).reshape(-1, d)
+
+    return nystrom_sketch(gram_mm, d, rank, key)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "cg_tol", "cg_maxiter",
+                                   "sample_block", "sample_sharding"))
+def _matfree_logit_samples(state, Z, nys_U, nys_lam, nys_good, alpha, beta,
+                           x, key, num_samples: int, cg_tol: float,
+                           cg_maxiter, sample_block=None,
+                           sample_sharding=None):
+    """One jitted eval step of the ``d_z``-UNBOUNDED predictive: Matheron
+    posterior draws by preconditioned CG against the matrix-free Gram
+    operator + the linearized push-forward at ``x``. Nothing of size
+    ``d_z × D`` or ``d_z × d_z`` is ever materialized — this is the
+    evaluation path for checkpoints whose inducing set exceeds the
+    eigh/HBM range of :func:`_amortized_logit_samples` (VERDICT r3 item 3).
+
+    RNG contract: ``key`` splits into (ε, η) exactly like
+    ``inference.sample.sample(method="matheron")``, so at equal CG
+    configuration the draws match that path bit-for-bit (pinned by
+    ``tests/test_predictor.py``). Returns ``(logit samples, worst CG
+    relative residual)`` — a residual ≫ ``cg_tol`` means maxiter exits
+    (the caller warns; see ``make_matheron_sampler``'s accuracy contract).
+    """
+    from laplace_inducing_points_tpu.inference.sample import (
+        _batch_rel_residual)
+    from laplace_inducing_points_tpu.ops.nystrom import precond_from_sketch
+
+    wz = ops.make_w_factor(state, Z, full_set_size=None)
+    M_, K_ = wz.inner_shape
+    d = M_ * K_
+    D = wz.num_params
+    sqrt_alpha = jnp.sqrt(alpha)
+    sqrt_beta = jnp.sqrt(beta)
+    precond = (precond_from_sketch(nys_U, nys_lam, nys_good, alpha)
+               if nys_U is not None else None)
+    maxiter = cg_maxiter or 10 * d
+    lin = ops.linearize_model(state, x)
+
+    def c_matvec(u):
+        gu = wz.t_matvec(wz.matvec(u.reshape(M_, K_))).reshape(d)
+        return beta * gu + alpha * u
+
+    def draw(k, n: int):
+        k1, k2 = jax.random.split(k)
+        eps = jax.random.normal(k1, (n, D))
+        eta = jax.random.normal(k2, (n, d))
+        if sample_sharding is not None:
+            eps = jax.lax.with_sharding_constraint(eps, sample_sharding)
+            eta = jax.lax.with_sharding_constraint(eta, sample_sharding)
+        U = sqrt_beta * wz.t_matmat(eps).reshape(n, d) + sqrt_alpha * eta
+        solve = lambda u: jax.scipy.sparse.linalg.cg(
+            c_matvec, u, tol=cg_tol, maxiter=maxiter, M=precond)[0]
+        X = jax.vmap(solve)(U)                                   # (n, d)
+        res = _batch_rel_residual(jax.vmap(c_matvec)(X), U)
+        w_draws = (eps - sqrt_beta
+                   * wz.matmat(X.reshape(-1, M_, K_))) / sqrt_alpha
+        return jax.vmap(lin.jvp)(w_draws), res                   # (n, B, K)
+
+    if not sample_block or sample_block >= num_samples:
+        dys, res = draw(key, num_samples)
+        return lin.f0[None] + dys, res
+    n_chunks = -(-num_samples // sample_block)
+    keys = jax.random.split(key, n_chunks)
+    dys, res = jax.lax.map(lambda k: draw(k, sample_block), keys)
+    dys = dys.reshape((n_chunks * sample_block,) + dys.shape[2:])
+    return lin.f0[None] + dys[:num_samples], jnp.max(res)
+
+
 @partial(jax.jit, static_argnames=("num_samples", "rank_tol",
                                    "range_clip_min"))
 def _joint_logit_samples(f0, JJt, A, gram, lam, V, alpha, beta, key,
@@ -261,6 +343,18 @@ class ScalableLLAPredictor:
     The reference computes this covariance form only in its dense D×D path
     (``/root/reference/src/lla.py:51-82``); here the Gram spectral factor
     makes it the scalable one.
+
+    ``method="matfree"`` (round 4) is the ``d_z``-UNBOUNDED evaluation
+    path: Matheron posterior draws by Nyström-preconditioned CG against
+    the matrix-free Gram operator + the same batched jvp push-forward —
+    nothing of size ``d_z × D`` or ``d_z × d_z`` is built, so checkpoints
+    trained with the ``stochastic_matfree`` objective at inducing counts
+    beyond the eigh/HBM range evaluate end-to-end (the reference's
+    ``predict_lla_scalable``, ``/root/reference/src/lla.py:133-156``, has
+    no analog — its sampler materializes the Gram). ``range_clip_min`` is
+    ignored here (exact sampler); CG accuracy contract + the
+    maxiter-exit warning: ``make_matheron_sampler``. The amortized state
+    is only the ``(d_z, precond_rank)`` sketch.
     """
 
     def __init__(self, state: Any, Z: jnp.ndarray, *,
@@ -272,9 +366,13 @@ class ScalableLLAPredictor:
                  mesh: Optional[jax.sharding.Mesh] = None,
                  mesh_axis: str = "data",
                  method: str = "weight",
-                 jac_block: Optional[int] = None):
+                 jac_block: Optional[int] = None,
+                 cg_tol: float = 1e-4,
+                 cg_maxiter: Optional[int] = None,
+                 precond_rank: Optional[int] = 64,
+                 precond_key: Optional[jax.Array] = None):
         M = Z.shape[0]
-        if method not in ("weight", "cov"):
+        if method not in ("weight", "cov", "matfree"):
             raise ValueError(f"unknown predictive method {method!r}")
         self.state = state
         self.beta = float(full_set_size or M) / M
@@ -284,20 +382,48 @@ class ScalableLLAPredictor:
         self.method = method
         self.jac_block = jac_block
         self._stats_cache: dict = {}
+        self.sample_sharding = None
+        repl = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            self.state = jax.device_put(self.state, repl)
+            self.sample_sharding = NamedSharding(mesh, P(mesh_axis))
+
+        if method == "matfree":
+            # d_z-unbounded: NO (d_z × D) row factor, NO d_z×d_z Gram/eigh —
+            # only the (d_z, rank) Nyström sketch is stored. range_clip_min
+            # is a spectral-sampler feature and is ignored here (Matheron
+            # draws are exact); the CG accuracy contract lives in
+            # ``make_matheron_sampler``'s docstring.
+            self.Z = (jax.device_put(Z, repl) if repl is not None
+                      else jnp.asarray(Z))
+            self.cg_tol = cg_tol
+            self.cg_maxiter = cg_maxiter
+            self._cg_warned = False
+            self.nys = None
+            if precond_rank:
+                K_out = int(ops.model_outputs(
+                    state, state.params, Z[:1]).shape[-1])
+                d_z = M * K_out
+                self.nys = _jitted_nystrom_sketch(
+                    self.state, self.Z, self.beta,
+                    min(precond_rank, d_z),
+                    precond_key if precond_key is not None
+                    else jax.random.PRNGKey(0x4E59))
+                if repl is not None:
+                    self.nys = jax.device_put(self.nys, repl)
+            return
+
         self.R = ops.dense_wt(state, Z, example_block=example_block)
         self.gram = syrk(self.R)
         self.lam, self.V = jnp.linalg.eigh(
             ops.ensure_symmetry(self.gram, jitter=0.0))
-        self.sample_sharding = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
+        if repl is not None:
             self.R = jax.device_put(self.R, repl)
             self.gram = jax.device_put(self.gram, repl)
             self.lam = jax.device_put(self.lam, repl)
             self.V = jax.device_put(self.V, repl)
-            self.state = jax.device_put(self.state, repl)
-            self.sample_sharding = NamedSharding(mesh, P(mesh_axis))
 
     def _cov_self_check(self, x, alpha, cov_draws, n_check: int = 64):
         """One-time f32-regime guard for ``method="cov"``.
@@ -370,6 +496,29 @@ class ScalableLLAPredictor:
     def logit_samples(self, x: jnp.ndarray, alpha, key: jax.Array,
                       num_samples: int, cache_key=None) -> jnp.ndarray:
         """(num_samples, B, K) predictive logit samples for one batch."""
+        if self.method == "matfree":
+            out, res = _matfree_logit_samples(
+                self.state, self.Z,
+                *(self.nys if self.nys is not None else (None, None, None)),
+                alpha, self.beta, jnp.asarray(x, dtype=jnp.float32), key,
+                num_samples, self.cg_tol, self.cg_maxiter,
+                self.sample_block, self.sample_sharding)
+            # threshold floored at the f32-attainable residual (~1e-5):
+            # a cg_tol below round-off is a fully-converged solve, not a
+            # maxiter stall
+            if (not self._cg_warned
+                    and float(res) > max(5 * self.cg_tol, 1e-5)):
+                self._cg_warned = True
+                import warnings
+                warnings.warn(
+                    f"ScalableLLAPredictor(method='matfree'): worst CG "
+                    f"relative residual {float(res):.2e} exceeds "
+                    f"5x cg_tol={self.cg_tol:g} — CG is exiting on maxiter, "
+                    f"not tolerance. Draw error is bounded by the residual; "
+                    f"raise precond_rank and/or cg_maxiter (accuracy "
+                    f"contract: inference/sample.py::make_matheron_sampler).",
+                    stacklevel=2)
+            return out
         if self.method == "cov":
             f0, JJt, A = self.batch_stats(x, cache_key)
             out = _joint_logit_samples(

@@ -135,13 +135,30 @@ def _matheron_apply_dense(R, L, sqrt_alpha, sqrt_beta, eps, eta):
     return (eps - sqrt_beta * ops.pdot(X, R)) / sqrt_alpha
 
 
+def _batch_rel_residual(CX: jnp.ndarray, U: jnp.ndarray) -> jnp.ndarray:
+    """Worst relative CG/Cholesky solve residual over a probe batch:
+    ``max_p ||C x_p − u_p|| / ||u_p||``."""
+    num = jnp.linalg.norm(CX - U, axis=-1)
+    den = jnp.maximum(jnp.linalg.norm(U, axis=-1), 1e-30)
+    return jnp.max(num / den)
+
+
+@jax.jit
+def _matheron_apply_dense_info(R, L, sqrt_alpha, sqrt_beta, eps, eta):
+    U = sqrt_beta * ops.pdot(eps, R.T) + sqrt_alpha * eta      # (P, d)
+    X = jax.scipy.linalg.cho_solve((L, True), U.T).T           # (P, d)
+    CX = ops.pdot(X, ops.pdot(L, L.T).T)                       # (P, d)
+    draws = (eps - sqrt_beta * ops.pdot(X, R)) / sqrt_alpha
+    return draws, _batch_rel_residual(CX, U)
+
+
 def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
                           full_set_size: Optional[int] = None,
                           example_block: Optional[int] = None,
                           materialize_w: bool = True,
-                          cg_tol: float = 1e-6,
+                          cg_tol: float = 1e-4,
                           cg_maxiter: Optional[int] = None,
-                          precond_rank: Optional[int] = None,
+                          precond_rank: Optional[int] = 64,
                           precond_key: Optional[jax.Array] = None):
     """Exact posterior draws WITHOUT any matrix square root (round 3).
 
@@ -174,8 +191,24 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
     ``core.operators.pdot``); the matrix-free path is the scaling escape
     hatch, exact on CPU f32.
 
+    **Matrix-free accuracy contract** (round-4 defaults; measurements in
+    ``results/matfree_scale_tpu.jsonl``). κ(C) ≈ λ_max/α at GGN spectra, so
+    *unpreconditioned* CG stalls on maxiter: measured 1.25e-2 relative draw
+    error at d_z=10,240 with ``cg_tol=1e-3``/``maxiter=100`` — the exits
+    were maxiter exits, not convergence. The defaults therefore ship with
+    the rank-64 Nyström deflation ON (≈2.6× faster AND ~2× more accurate
+    at the same budget: 6.9e-3) and ``cg_tol=1e-4``. Residual draw error
+    ~1e-2 relative is fine for MC prediction — it sits below the MC
+    sampling noise (~1/√S per moment) — but this path is NOT a substitute
+    for the materialized samplers where exact contractions matter. Check
+    convergence with ``apply(eps, eta, with_info=True)``: it also returns
+    the worst CG relative residual of the batch; a value ≫ ``cg_tol``
+    means maxiter exits (raise ``precond_rank``/``cg_maxiter``).
+
     Returns ``apply(eps (P, D), eta (P, d)) -> (P, D)`` plus ``d`` so the
-    caller can shape ``eta``.
+    caller can shape ``eta``; ``apply(..., with_info=True)`` returns
+    ``(draws, cg_rel_residual)`` (the materialized path reports its
+    Cholesky-solve residual the same way, normally ~f32 eps).
     """
     from laplace_inducing_points_tpu.training.inducing import _pivot_jitter
 
@@ -197,12 +230,16 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
             ops.ensure_symmetry(C, jitter=0.0)
             + _pivot_jitter(C) * jnp.eye(d, dtype=C.dtype))
 
-        def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
+        def apply(eps: jnp.ndarray, eta: jnp.ndarray,
+                  with_info: bool = False):
             # R/L ride as arguments of the module-level jit, NOT closure
             # constants: closing over a (d, D) factor inlines it into the
             # lowered HLO (GBs of literals at real shapes — blows the
             # remote-compile relay's request limit). Callers need not (and
             # should not) re-jit `apply`.
+            if with_info:
+                return _matheron_apply_dense_info(R, L, sqrt_alpha,
+                                                  sqrt_beta, eps, eta)
             return _matheron_apply_dense(R, L, sqrt_alpha, sqrt_beta,
                                          eps, eta)
 
@@ -233,7 +270,7 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
             precond_key if precond_key is not None
             else jax.random.PRNGKey(0x4E59))
 
-    def apply(eps: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
+    def apply(eps: jnp.ndarray, eta: jnp.ndarray, with_info: bool = False):
         U = (sqrt_beta * w.t_matmat(eps).reshape(eps.shape[0], d)
              + sqrt_alpha * eta)                                  # (P, d)
         solve = lambda u: jax.scipy.sparse.linalg.cg(
@@ -241,7 +278,13 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
             M=precond)[0]
         X = jax.vmap(solve)(U)                                    # (P, d)
         corr = w.matmat(X.reshape(-1, M_, K_))                    # (P, D)
-        return (eps - sqrt_beta * corr) / sqrt_alpha
+        draws = (eps - sqrt_beta * corr) / sqrt_alpha
+        if with_info:
+            # one extra batched Gram matvec: did CG reach tol, or exit on
+            # maxiter? (jax's cg reports neither — the residual does)
+            CX = jax.vmap(c_matvec)(X)
+            return draws, _batch_rel_residual(CX, U)
+        return draws
 
     return apply, d
 

@@ -53,25 +53,16 @@ import jax.numpy as jnp
 from laplace_inducing_points_tpu.core.operators import pdot
 
 
-def nystrom_preconditioner(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
-                           d: int, rank: int, rho,
-                           key: jax.Array,
-                           deflation_floor: float = 1e-5
-                           ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Build ``apply(v) = P⁻¹ v`` for ``C = G + ρI`` from ``rank`` matvecs.
+def nystrom_sketch(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
+                   d: int, rank: int, key: jax.Array):
+    """The ρ-INDEPENDENT part of the preconditioner: ``rank`` sketch
+    matvecs → the Nyström eigenpairs ``(U (d, k), lam (k,), good (k,))``.
 
-    ``gram_matmat``: batched Gram action ``(k, d) -> (k, d)`` (rows are
-    probes). ``apply`` accepts ``(d,)`` or batched ``(..., d)``; it is a
-    symmetric positive-definite linear map, as
-    ``jax.scipy.sparse.linalg.cg``'s ``M`` argument requires.
-
-    ``deflation_floor`` caps per-direction deflation at 1/floor: when the
-    Gram has zero modes, ``λ̂_min → 0`` and the textbook multiplier
-    ``(λ̂_min+ρ)/(λ̂_max+ρ)`` can fall below f32 round-off — P⁻¹ then has
-    noise-level eigenvalues and preconditioned CG *loses* accuracy. The
-    floor keeps P⁻¹'s spectrum in [floor, 1]; residual condition number is
-    ``max(λ̂_max·floor, ρ)/ρ`` instead of 1, still a ~1e5× deflation at
-    GGN-like spectra and exactly computable in f32.
+    Splitting the sketch from :func:`precond_from_sketch` lets callers
+    amortize the expensive part (the ``k`` Gram matvecs) across ρ values —
+    e.g. an α grid search or a predictor whose α stays traced — since only
+    the O(k) ``coeff`` vector depends on ρ. All outputs are
+    ``stop_gradient``-ed (rationale in the module docstring).
     """
     k = min(rank, d)
     Om = jax.random.normal(key, (d, k), dtype=jnp.float32)
@@ -94,24 +85,66 @@ def nystrom_preconditioner(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
     s = jnp.sqrt(s2)
     good = s > jnp.finfo(jnp.float32).eps * jnp.max(s) * d
     U = pdot(F, V) * jnp.where(good, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    # Sort descending by s² BEFORE the QR re-orthonormalization below:
+    # eigh orders ascending, so any zeroed junk columns would come FIRST,
+    # and Householder QR would fill them with arbitrary orthonormal
+    # directions that later (good) columns get Gram-Schmidt'ed against —
+    # rotating them away from the Nyström eigenvectors while ``coeff``
+    # stays positional. Descending order puts every good column before
+    # every junk one, so the good block re-orthonormalizes against itself.
+    order = jnp.argsort(-s2)
+    U, s2, good = U[:, order], s2[order], good[order]
     # Re-orthonormalize: the eigh spans ~6 decades at GGN spectra, leaving
     # UᵀU − I ≈ 1e-4 — ABOVE the deflation floor, which makes
     # I + U diag(coeff) Uᵀ indefinite at that level and stalls CG
-    # (observed, not hypothetical). QR of the near-orthonormal U is a
-    # ≈identity rotation, so column↔coeff alignment survives; P⁻¹ is then
-    # SPD for ANY orthonormal U by construction.
+    # (observed, not hypothetical). QR of the near-orthonormal (sorted) U
+    # is a ≈identity rotation on the good block, so column↔coeff alignment
+    # survives; P⁻¹ is then SPD for ANY orthonormal U by construction.
     U = jnp.linalg.qr(U)[0]
     lam = jnp.maximum(s2 - nu, 0.0)                 # Nyström eigenvalues
+    return jax.lax.stop_gradient((U, lam, good))
 
+
+def precond_from_sketch(U: jnp.ndarray, lam: jnp.ndarray, good: jnp.ndarray,
+                        rho, deflation_floor: float = 1e-5
+                        ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """ρ-dependent tail: build ``apply(v) = P⁻¹ v`` from a stored sketch.
+
+    O(k) work besides the two (d, k) matmuls per apply — safe to call
+    inside a jit with a traced ``rho``.
+    """
     lam_min = jnp.min(jnp.where(good, lam, jnp.inf))
     lam_min = jnp.where(jnp.isfinite(lam_min), lam_min, 0.0)
     mult = jnp.maximum((lam_min + rho) / (lam + rho), deflation_floor)
     coeff = jnp.where(good, mult - 1.0, 0.0)
-
-    U, coeff = jax.lax.stop_gradient((U, coeff))
+    coeff = jax.lax.stop_gradient(coeff)
 
     def apply(v: jnp.ndarray) -> jnp.ndarray:
         t = pdot(v, U)                              # (..., k)
         return v + pdot(t * coeff, U.T)
 
     return apply
+
+
+def nystrom_preconditioner(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
+                           d: int, rank: int, rho,
+                           key: jax.Array,
+                           deflation_floor: float = 1e-5
+                           ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build ``apply(v) = P⁻¹ v`` for ``C = G + ρI`` from ``rank`` matvecs.
+
+    ``gram_matmat``: batched Gram action ``(k, d) -> (k, d)`` (rows are
+    probes). ``apply`` accepts ``(d,)`` or batched ``(..., d)``; it is a
+    symmetric positive-definite linear map, as
+    ``jax.scipy.sparse.linalg.cg``'s ``M`` argument requires.
+
+    ``deflation_floor`` caps per-direction deflation at 1/floor: when the
+    Gram has zero modes, ``λ̂_min → 0`` and the textbook multiplier
+    ``(λ̂_min+ρ)/(λ̂_max+ρ)`` can fall below f32 round-off — P⁻¹ then has
+    noise-level eigenvalues and preconditioned CG *loses* accuracy. The
+    floor keeps P⁻¹'s spectrum in [floor, 1]; residual condition number is
+    ``max(λ̂_max·floor, ρ)/ρ`` instead of 1, still a ~1e5× deflation at
+    GGN-like spectra and exactly computable in f32.
+    """
+    U, lam, good = nystrom_sketch(gram_matmat, d, rank, key)
+    return precond_from_sketch(U, lam, good, rho, deflation_floor)

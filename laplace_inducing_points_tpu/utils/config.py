@@ -26,11 +26,15 @@ IP_DEFAULTS = {
     "slq_num_matvecs": None,
     "objective": "gram",        # framework default: exact Gram objective
     "example_block": None,      # chunk example axis of W-row builds (memory cap)
+    "restarts": 1,              # k-restart Z training, selected by full-set
+                                # KL (toy configs set 4; RESULTS.md r4)
     # stochastic_matfree (d_z-unbounded CG-Woodbury) knobs — ignored by
-    # the other objectives:
-    "cg_tol": 1e-6,
+    # the other objectives. Defaults follow the round-4 accuracy contract
+    # (inference/sample.py::make_matheron_sampler): deflation ON, a tol the
+    # preconditioned iteration actually reaches at GGN spectra.
+    "cg_tol": 1e-3,
     "cg_maxiter": None,
-    "precond_rank": None,       # Nyström deflation rank (ops/nystrom.py)
+    "precond_rank": 64,         # Nyström deflation rank (ops/nystrom.py)
 }
 
 MAP_DEFAULTS = {
@@ -45,6 +49,14 @@ SAMPLING_DEFAULTS = {
     "mc_samples": 100,
     "method": "gram_eigh",      # or "lanczos" / "matheron" (exact, no eigh)
     "invsqrt_num_matvecs": None,
+    "predictive": "weight",     # or "cov" / "matfree" (d_z-unbounded)
+    "sample_block": None,       # chunk the MC-sample axis (HBM cap)
+    "jac_block": None,          # chunk the cov path's Jacobian build
+    # matfree predictive CG knobs (accuracy contract:
+    # inference/sample.py::make_matheron_sampler):
+    "cg_tol": 1e-4,
+    "cg_maxiter": None,
+    "precond_rank": 64,
 }
 
 

@@ -68,9 +68,10 @@ def banana_setup(tmp_path_factory):
     _, test_loader, _ = make_dataloaders(
         ArrayDataset(*tr), ArrayDataset(*te), ArrayDataset(*va), 32)
 
-    def ood_loader_at(radius, fname):
+    def ood_loader_at(radius):
+        from laplace_inducing_points_tpu.data.toy import ring_cache_fname
         ring = ensure_toy_npz("ring", data_dir=data_dir, radius=radius,
-                              fname=fname)
+                              fname=ring_cache_fname(radius))
         xr, yr = load_dataset(ring)
         sp = train_test_val_split(xr, yr)
         return make_dataloaders(ArrayDataset(*sp[0]), ArrayDataset(*sp[1]),
@@ -85,7 +86,7 @@ def banana_setup(tmp_path_factory):
     Z = load_array(GOLDEN, "ind_banana", 500)
     meta = load_run_meta(GOLDEN, "ind_banana")
     return (state, Z, meta, te, test_loader,
-            ood_loader_at(2.0, "ring"), ood_loader_at(1.05, "ring_r105"))
+            ood_loader_at(2.0), ood_loader_at(1.05))
 
 
 def test_golden_banana_parity(banana_setup):

@@ -164,3 +164,37 @@ def test_precond_path_never_materializes_gram():
                     elif hasattr(item, "eqns"):
                         stack.append(item)
     assert seen > 50
+
+
+def test_sketch_columns_stay_aligned_with_zero_modes():
+    """Round-4 regression (ADVICE r3): with masked (junk) sketch columns,
+    the QR re-orthonormalization must not rotate GOOD eigenvector columns
+    away from their positional coefficients. Exact low-rank G + oversized
+    sketch => Nyström recovers the range exactly, so each good column must
+    match the true eigenvector (distinct eigengaps), and good columns must
+    come first."""
+    import numpy as np
+    from laplace_inducing_points_tpu.ops.nystrom import nystrom_sketch
+
+    d, r = 12, 3
+    lam_true = jnp.array([100.0, 10.0, 1.0] + [0.0] * (d - r))
+    Q, _ = jnp.linalg.qr(jax.random.normal(jax.random.PRNGKey(3), (d, d)))
+    G = (Q * lam_true) @ Q.T
+    gram_mm = lambda V: V @ G                      # (k, d) -> (k, d)
+
+    U, lam, good = nystrom_sketch(gram_mm, d, 6, jax.random.PRNGKey(7))
+    good = np.asarray(good)
+    lam = np.asarray(lam)
+    n_good = int(good.sum())
+    assert n_good >= r
+    # good columns form a PREFIX (descending-s2 ordering before QR)
+    assert good[:n_good].all() and not good[n_good:].any()
+    # lam descending over the good block
+    assert (np.diff(lam[:n_good]) <= 1e-6).all()
+    np.testing.assert_allclose(lam[:r], np.asarray(lam_true[:r]),
+                               rtol=1e-3, atol=1e-3)
+    # per-column eigenvector alignment (the old ascending-order code let
+    # Householder junk directions rotate these away)
+    for j in range(r):
+        dot = float(jnp.abs(jnp.dot(U[:, j], Q[:, j])))
+        assert dot > 0.99, (j, dot)

@@ -250,3 +250,79 @@ def test_cov_woodbury_accurate_on_ill_conditioned_gram():
     np.testing.assert_allclose(d_emp, d_orc, rtol=0.08)
     np.testing.assert_allclose(np.asarray(emp), np.asarray(Sigma_oracle),
                                atol=4.0 * float(d_orc.max()) / np.sqrt(S_mc))
+
+
+def test_matfree_predictor_matches_matheron_sampler():
+    """method='matfree' (round 4, VERDICT r3 item 3): the d_z-unbounded
+    predictor's draws must equal sample(method='matheron',
+    materialize_w=False) pushed through the same linearized forward — the
+    documented RNG contract — at equal CG configuration. The sampler
+    itself carries the covariance-exactness dense twins
+    (tests/test_sample.py); this pins the predictor wiring to it."""
+    from laplace_inducing_points_tpu.core import operators as ops
+    from laplace_inducing_points_tpu.inference.sample import sample
+
+    _, state, (x, y) = classifier_state()
+    Z = x[:5]
+    alpha, key, S = 0.3, jax.random.PRNGKey(21), 6
+    xt = jnp.asarray(x[:8], jnp.float32)
+
+    pred = ScalableLLAPredictor(state, Z, full_set_size=17,
+                                method="matfree", cg_tol=1e-10,
+                                precond_rank=4)
+    got = pred.logit_samples(xt, alpha, key, S)
+
+    w = sample(state, Z, alpha, key, num_samples=S, full_set_size=17,
+               method="matheron", materialize_w=False, cg_tol=1e-10,
+               precond_rank=4)
+    lin = ops.linearize_model(state, xt)
+    want = lin.f0[None] + jax.vmap(lin.jvp)(w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_matfree_predictor_never_materializes_rows_and_evals():
+    """The matfree predictor must hold NO (d_z, D) or (d_z, d_z) arrays
+    (that is its reason to exist), and the eval harness must run end-to-end
+    on it with metrics matching the materialized weight path within MC
+    noise."""
+    _, state, (x, y) = classifier_state()
+    Z = x[:6]
+    D = 0
+    from laplace_inducing_points_tpu.core.params import flatten_nn_params
+    D = flatten_nn_params(state.params)[0].shape[0]
+
+    pred = ScalableLLAPredictor(state, Z, full_set_size=32,
+                                method="matfree", cg_tol=1e-8,
+                                precond_rank=4)
+    assert not hasattr(pred, "R")
+    d_z = pred.nys[0].shape[0]
+    for leaf in jax.tree_util.tree_leaves(pred.nys):
+        assert leaf.ndim < 2 or leaf.shape[1] < d_z       # (d_z, rank) only
+        assert D not in leaf.shape
+
+    loader = DataLoader(ArrayDataset(x, y), batch_size=16)
+    rng = jax.random.PRNGKey(5)
+    nll_mf, acc_mf = eval_dataset(state, loader, Z, alpha=0.3,
+                                  full_set_size=32, num_mc_samples=64,
+                                  rng=rng, predictor=pred)
+    pred_w = ScalableLLAPredictor(state, Z, full_set_size=32)
+    nll_w, acc_w = eval_dataset(state, loader, Z, alpha=0.3,
+                                full_set_size=32, num_mc_samples=64,
+                                rng=rng, predictor=pred_w)
+    assert abs(acc_mf - acc_w) < 0.15
+    assert abs(nll_mf - nll_w) < 0.2
+
+
+def test_matfree_predictor_warns_on_cg_stall():
+    """Accuracy contract: a maxiter exit must not be silent."""
+    import pytest
+
+    _, state, (x, y) = classifier_state()
+    Z = x[:5]
+    pred = ScalableLLAPredictor(state, Z, full_set_size=17,
+                                method="matfree", cg_tol=1e-8,
+                                cg_maxiter=1, precond_rank=None)
+    with pytest.warns(UserWarning, match="maxiter"):
+        pred.logit_samples(jnp.asarray(x[:4], jnp.float32), 0.3,
+                           jax.random.PRNGKey(2), 4)

@@ -186,3 +186,35 @@ def test_matheron_preconditioner_built_once(monkeypatch):
     ap(jax.random.normal(k1, (2, D)), jax.random.normal(k2, (2, d)))
     ap(jax.random.normal(k2, (2, D)), jax.random.normal(k1, (2, d)))
     assert len(calls) == 1                      # NOT rebuilt per call
+
+
+def test_matheron_with_info_reports_cg_convergence():
+    """`apply(..., with_info=True)` returns the worst relative solve
+    residual: tiny at a tight tol with full budget, large on a forced
+    1-iteration maxiter stall — the visibility knob behind the round-4
+    accuracy contract (silent maxiter exits were a correctness trap)."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:5]
+    alpha, N = 0.3, 17
+    D = smp.ops.dense_wt(state, Z).shape[1]
+
+    ap, d = smp.make_matheron_sampler(state, Z, alpha, full_set_size=N,
+                                      materialize_w=False, cg_tol=1e-8,
+                                      precond_rank=4)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    eps = jax.random.normal(k1, (3, D))
+    eta = jax.random.normal(k2, (3, d))
+    draws, res = ap(eps, eta, with_info=True)
+    assert draws.shape == (3, D)
+    assert float(res) < 1e-5
+
+    ap_stall, _ = smp.make_matheron_sampler(state, Z, alpha, full_set_size=N,
+                                            materialize_w=False, cg_tol=1e-8,
+                                            cg_maxiter=1, precond_rank=None)
+    _, res_stall = ap_stall(eps, eta, with_info=True)
+    assert float(res_stall) > 1e-3
+
+    # materialized path reports the same diagnostic (Cholesky: ~f32 eps)
+    ap_mat, _ = smp.make_matheron_sampler(state, Z, alpha, full_set_size=N)
+    _, res_mat = ap_mat(eps, eta, with_info=True)
+    assert float(res_mat) < 1e-4

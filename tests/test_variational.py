@@ -208,9 +208,14 @@ def test_matfree_stochastic_never_materializes_gram():
     D = flatten_nn_params(state.params)[0].shape[0]
     assert D > d_z                       # shapes must be distinguishable
 
+    # precond_rank pinned BELOW d_z: at production shapes rank (64) is
+    # ~1e-3 of d_z, so the (d_z, rank) Nyström factors are the allowed
+    # small state; at this test's tiny d_z=10 the round-4 default of 64
+    # would clip to k=d_z and legitimately create a (d_z, d_z) sketch,
+    # which is not what the contract polices
     fn = lambda z: ind.OBJECTIVES["stochastic_matfree"](
         z, X, state, 0.6, jax.random.PRNGKey(0), full_set_size=24,
-        st_samples=16, slq_samples=2, slq_num_matvecs=6)
+        st_samples=16, slq_samples=2, slq_num_matvecs=6, precond_rank=4)
     jaxpr = jax.make_jaxpr(jax.value_and_grad(fn))(Z)
 
     banned = {(d_z, D), (D, d_z), (d_z, d_z)}

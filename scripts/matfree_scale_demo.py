@@ -50,7 +50,7 @@ from laplace_inducing_points_tpu.inference.sample import make_matheron_sampler
 from laplace_inducing_points_tpu.models.scale import LeNet5
 from laplace_inducing_points_tpu.models.state import create_train_state
 from laplace_inducing_points_tpu.training.inducing import (
-    kl_objective_stochastic)
+    kl_objective_stochastic, matfree_cg_healthcheck, optimize_step)
 from laplace_inducing_points_tpu.utils import setup_compile_cache
 
 
@@ -104,10 +104,22 @@ def main() -> None:
     p.add_argument("--data_batch", type=int, default=256)
     p.add_argument("--full_set", type=int, default=60000)
     p.add_argument("--skip_grad_large", action="store_true")
+    p.add_argument("--skip_small", action="store_true",
+                   help="skip the small-shape twin comparison (e.g. when "
+                        "only the training run is wanted)")
+    p.add_argument("--train_steps", type=int, default=0,
+                   help="round 4 (VERDICT r3 item 4): run an actual "
+                        "multi-step stochastic_matfree TRAINING run at "
+                        "m_large_grad — optimize_step in a loop with the "
+                        "Nystrom preconditioner, loss trajectory + s/step "
+                        "+ CG healthcheck recorded; 0 disables")
+    p.add_argument("--train_lr", type=float, default=0.01)
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
     setup_compile_cache()
+    from laplace_inducing_points_tpu.utils import acquire_tpu_lock
+    acquire_tpu_lock()
     log(f"[matfree] devices: {jax.devices()}")
 
     model = LeNet5()
@@ -128,14 +140,29 @@ def main() -> None:
             with open(args.out, "a" if rows[1:] else "w") as f:
                 f.write(json.dumps(kw) + "\n")
 
-    def objective_step(M: int, materialize: bool, with_grad: bool):
+    def healthcheck(M: int, precond_rank=None, Z=None):
+        """CG convergence visibility: did the inner solve reach tol, or
+        exit on maxiter? (round 4 — silent stalls were the trap). Pass
+        ``Z`` to probe at a specific (e.g. trained) inducing set."""
+        if Z is None:
+            Z = jax.random.normal(jax.random.PRNGKey(3), (M, 28, 28, 1))
+        hc = matfree_cg_healthcheck(
+            state, Z, args.alpha, full_set_size=args.full_set,
+            cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
+            precond_rank=precond_rank, key=jax.random.PRNGKey(11),
+            warn=False)
+        return hc
+
+    def objective_step(M: int, materialize: bool, with_grad: bool,
+                       precond_rank=None):
         Z = jax.random.normal(jax.random.PRNGKey(3), (M, 28, 28, 1))
         obj = partial(kl_objective_stochastic,
                       full_set_size=args.full_set,
                       st_samples=args.st_samples, slq_samples=2,
                       slq_num_matvecs=args.slq_matvecs,
                       materialize_w=materialize,
-                      cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter)
+                      cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
+                      precond_rank=precond_rank)
         if with_grad:
             fn = jax.jit(lambda z: jax.value_and_grad(obj)(
                 z, X, state, args.alpha, jax.random.PRNGKey(4)))
@@ -170,42 +197,60 @@ def main() -> None:
 
     # ---- small shape: both paths, same keys -> agreement + tax ----------
     Ms = args.m_small
-    log(f"[matfree] small shape M={Ms} (d_z={Ms * 10}): both paths")
-    t_mat, d_s, draws_mat = sampler_draws(Ms, materialize=True)
-    record(op="matheron_draws", path="materialized", M=Ms, d_z=d_s, D=D,
-           probes=args.probes, seconds=round(t_mat, 3))
-    t_mf, _, draws_mf = sampler_draws(Ms, materialize=False)
-    rel = float(jnp.max(jnp.abs(draws_mf - draws_mat))
-                / (jnp.max(jnp.abs(draws_mat)) + 1e-12))
-    record(op="matheron_draws", path="matfree_cg", M=Ms, d_z=d_s, D=D,
-           probes=args.probes, seconds=round(t_mf, 3),
-           cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
-           rel_vs_materialized=f"{rel:.2e}",
-           tax_x=round(t_mf / t_mat, 1))
-    t_pc, _, draws_pc = sampler_draws(Ms, materialize=False,
-                                      precond_rank=args.precond_rank)
-    rel_pc = float(jnp.max(jnp.abs(draws_pc - draws_mat))
-                   / (jnp.max(jnp.abs(draws_mat)) + 1e-12))
-    record(op="matheron_draws", path="matfree_cg_nystrom", M=Ms, d_z=d_s,
-           D=D, probes=args.probes, seconds=round(t_pc, 3),
-           cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
-           precond_rank=args.precond_rank,
-           rel_vs_materialized=f"{rel_pc:.2e}",
-           tax_x=round(t_pc / t_mat, 1))
-    del draws_mat, draws_mf, draws_pc
+    if not args.skip_small:
+        log(f"[matfree] small shape M={Ms} (d_z={Ms * 10}): both paths")
+        t_mat, d_s, draws_mat = sampler_draws(Ms, materialize=True)
+        record(op="matheron_draws", path="materialized", M=Ms, d_z=d_s, D=D,
+               probes=args.probes, seconds=round(t_mat, 3))
+        t_mf, _, draws_mf = sampler_draws(Ms, materialize=False)
+        rel = float(jnp.max(jnp.abs(draws_mf - draws_mat))
+                    / (jnp.max(jnp.abs(draws_mat)) + 1e-12))
+        record(op="matheron_draws", path="matfree_cg", M=Ms, d_z=d_s, D=D,
+               probes=args.probes, seconds=round(t_mf, 3),
+               cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
+               rel_vs_materialized=f"{rel:.2e}",
+               tax_x=round(t_mf / t_mat, 1))
+        t_pc, _, draws_pc = sampler_draws(Ms, materialize=False,
+                                          precond_rank=args.precond_rank)
+        rel_pc = float(jnp.max(jnp.abs(draws_pc - draws_mat))
+                       / (jnp.max(jnp.abs(draws_mat)) + 1e-12))
+        record(op="matheron_draws", path="matfree_cg_nystrom", M=Ms, d_z=d_s,
+               D=D, probes=args.probes, seconds=round(t_pc, 3),
+               cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
+               precond_rank=args.precond_rank,
+               rel_vs_materialized=f"{rel_pc:.2e}",
+               tax_x=round(t_pc / t_mat, 1))
+        del draws_mat, draws_mf, draws_pc
 
-    t_omat, v_omat, g_omat = objective_step(Ms, materialize=True,
-                                            with_grad=True)
-    record(op="kl_objective_grad", path="materialized", M=Ms, d_z=d_s,
-           seconds=round(t_omat, 3), value=round(v_omat, 2),
-           grad_norm=round(g_omat, 4))
-    t_omf, v_omf, g_omf = objective_step(Ms, materialize=False,
-                                         with_grad=True)
-    record(op="kl_objective_grad", path="matfree_cg", M=Ms, d_z=d_s,
-           seconds=round(t_omf, 3), value=round(v_omf, 2),
-           grad_norm=round(g_omf, 4),
-           value_rel_err=f"{abs(v_omf - v_omat) / abs(v_omat):.2e}",
-           tax_x=round(t_omf / t_omat, 1))
+        t_omat, v_omat, g_omat = objective_step(Ms, materialize=True,
+                                                with_grad=True)
+        record(op="kl_objective_grad", path="materialized", M=Ms, d_z=d_s,
+               seconds=round(t_omat, 3), value=round(v_omat, 2),
+               grad_norm=round(g_omat, 4))
+        t_omf, v_omf, g_omf = objective_step(Ms, materialize=False,
+                                             with_grad=True)
+        hc_plain = healthcheck(Ms)
+        record(op="kl_objective_grad", path="matfree_cg", M=Ms, d_z=d_s,
+               seconds=round(t_omf, 3), value=round(v_omf, 2),
+               grad_norm=round(g_omf, 4),
+               value_rel_err=f"{abs(v_omf - v_omat) / abs(v_omat):.2e}",
+               tax_x=round(t_omf / t_omat, 1),
+               cg_rel_residual=f"{hc_plain['cg_rel_residual']:.2e}",
+               cg_converged=hc_plain['converged'])
+        # round 4 (VERDICT r3 weak 5): the PRECONDITIONED objective row —
+        # previously only draws had a precond measurement
+        t_opc, v_opc, g_opc = objective_step(Ms, materialize=False,
+                                             with_grad=True,
+                                             precond_rank=args.precond_rank)
+        hc_pc = healthcheck(Ms, precond_rank=args.precond_rank)
+        record(op="kl_objective_grad", path="matfree_cg_nystrom", M=Ms,
+               d_z=d_s, seconds=round(t_opc, 3), value=round(v_opc, 2),
+               grad_norm=round(g_opc, 4),
+               precond_rank=args.precond_rank,
+               value_rel_err=f"{abs(v_opc - v_omat) / abs(v_omat):.2e}",
+               tax_x=round(t_opc / t_omat, 1),
+               cg_rel_residual=f"{hc_pc['cg_rel_residual']:.2e}",
+               cg_converged=hc_pc['converged'])
 
     # ---- large shape: matfree only (R alone would exceed HBM) -----------
     Ml = args.m_large
@@ -223,12 +268,69 @@ def main() -> None:
         d_g = Mg * 10
         rg_gib = d_g * D * 4 / 2**30
         t_ol, v_ol, g_ol = objective_step(Mg, materialize=False,
-                                          with_grad=True)
-        record(op="kl_objective_grad", path="matfree_cg", M=Mg, d_z=d_g,
-               seconds=round(t_ol, 3), value=round(v_ol, 2),
-               grad_norm=round(g_ol, 4),
+                                          with_grad=True,
+                                          precond_rank=args.precond_rank)
+        hc_l = healthcheck(Mg, precond_rank=args.precond_rank)
+        record(op="kl_objective_grad", path="matfree_cg_nystrom", M=Mg,
+               d_z=d_g, seconds=round(t_ol, 3), value=round(v_ol, 2),
+               grad_norm=round(g_ol, 4), precond_rank=args.precond_rank,
+               cg_rel_residual=f"{hc_l['cg_rel_residual']:.2e}",
+               cg_converged=hc_l['converged'],
                materialized_r_plus_gram_gib=round(
                    rg_gib + d_g * d_g * 4 / 2**30, 1))
+
+    # ---- round 4: an actual TRAINING RUN, not a single step --------------
+    if args.train_steps > 0:
+        Mg = args.m_large_grad
+        d_g = Mg * 10
+        log(f"[matfree] training run: {args.train_steps} steps of "
+            f"stochastic_matfree at M={Mg} (d_z={d_g}), "
+            f"precond_rank={args.precond_rank}")
+        hc0 = healthcheck(Mg, precond_rank=args.precond_rank)
+        log(f"[matfree] pre-run CG healthcheck: residual "
+            f"{hc0['cg_rel_residual']:.2e} "
+            f"({'converged' if hc0['converged'] else 'MAXITER STALL'})")
+        Z = jax.random.normal(jax.random.PRNGKey(3), (Mg, 28, 28, 1))
+        opt = optax.adam(args.train_lr)
+        opt_state = opt.init(Z)
+        rng = jax.random.PRNGKey(12)
+        losses, t_steps = [], []
+        t_start = time.perf_counter()
+        for step in range(args.train_steps):
+            rng, sub, xk = jax.random.split(rng, 3)
+            Xb = jax.random.normal(xk, (args.data_batch, 28, 28, 1))
+            t0 = time.perf_counter()
+            Z, opt_state, loss = optimize_step(
+                Z, Xb, state, args.alpha, opt_state, sub,
+                objective="stochastic_matfree", optimizer=opt,
+                full_set_size=args.full_set,
+                st_samples=args.st_samples, slq_samples=2,
+                slq_num_matvecs=args.slq_matvecs,
+                cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
+                precond_rank=args.precond_rank)
+            loss = float(np.asarray(loss))
+            dt = time.perf_counter() - t0
+            losses.append(round(loss, 2))
+            t_steps.append(dt)
+            log(f"[matfree] step {step:3d}: loss={loss:.2f} ({dt:.1f}s)")
+            if not np.isfinite(loss):
+                log("[matfree] DIVERGED — stopping the run")
+                break
+        hc1 = healthcheck(Mg, precond_rank=args.precond_rank, Z=Z)
+        warm = t_steps[1:] or t_steps
+        record(op="kl_training_run", path="matfree_cg_nystrom", M=Mg,
+               d_z=d_g, steps=len(losses),
+               seconds_per_step=round(float(np.median(warm)), 2),
+               first_step_seconds=round(t_steps[0], 2),
+               total_seconds=round(time.perf_counter() - t_start, 1),
+               loss_first=losses[0], loss_last=losses[-1],
+               loss_min=min(losses),
+               loss_trajectory=losses,
+               precond_rank=args.precond_rank, cg_tol=args.cg_tol,
+               cg_maxiter=args.cg_maxiter,
+               cg_rel_residual_pre=f"{hc0['cg_rel_residual']:.2e}",
+               cg_rel_residual_post=f"{hc1['cg_rel_residual']:.2e}",
+               cg_converged=bool(hc0['converged'] and hc1['converged']))
 
     if args.out:
         log(f"[matfree] wrote {len(rows)} rows to {args.out}")

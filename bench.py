@@ -401,7 +401,8 @@ def main():
         Rb = build_R(z)
         C = s_beta * syrk(Rb) + s_alpha * jnp.eye(d_z, dtype=Rb.dtype)
         L = jnp.linalg.cholesky(ensure_symmetry(C, jitter=0.0)
-                                + _pivot_jitter(C) * jnp.eye(d_z, C.dtype))
+                                + _pivot_jitter(C) * jnp.eye(d_z,
+                                                             dtype=C.dtype))
         return z * (1.0 + 0.0 * L[0, 0])
     t_mfac, _ = slope_time(matheron_factor, x)
     log(f"[bench] matheron factor build (rows+syrk+cholesky, d_z={d_z}): "

@@ -74,6 +74,11 @@ def build_parser():
                         "RESULTS.md 'Banana round 4'). Default: config "
                         "optimization.ip.restarts (toy configs: 4); 1 = "
                         "single run")
+    p.add_argument("--ip_seed", type=int, default=None,
+                   help="override optimization.ip.seed (Z-training rng, "
+                        "minibatch shuffle, restart inits) — used by the "
+                        "end-to-end variance measurements in RESULTS.md "
+                        "'Banana round 4'")
     p.add_argument("--plot_Z", action="store_true")
     p.add_argument("--plot_X", action="store_true")
     p.add_argument("--comparison", action="store_true",
@@ -98,6 +103,8 @@ def main(argv=None):
     opt_cfg = cfg["optimization"]
     map_cfg = opt_cfg["map"]
     ip_cfg = opt_cfg["ip"]
+    if args.ip_seed is not None:
+        ip_cfg["seed"] = args.ip_seed
     model_kind = model_cfg["type"]
     alpha = opt_cfg["alpha"]
 

@@ -145,6 +145,20 @@ def linearize_model(state: Any, Z: jnp.ndarray) -> Linearization:
 # W factor
 # ---------------------------------------------------------------------------
 
+def _probe_blocked(batched_fn, V: jnp.ndarray,
+                   block: Optional[int]) -> jnp.ndarray:
+    """Apply a vmapped per-probe fn over ``V``'s leading axis in sequential
+    ``lax.map`` chunks of ``block`` rows (pad-and-trim keeps one compiled
+    chunk shape). ``block=None`` (or ≥ P) is the plain one-shot vmap."""
+    P = V.shape[0]
+    if block is None or block >= P:
+        return batched_fn(V)
+    pad = (-P) % block
+    Vp = jnp.concatenate([V, V[:pad]]) if pad else V
+    out = jax.lax.map(batched_fn, Vp.reshape(-1, block, *V.shape[1:]))
+    return out.reshape(-1, *out.shape[2:])[:P]
+
+
 @dataclass(frozen=True)
 class WFactor:
     """The GGN square-root factor ``W`` as a matrix-free operator.
@@ -168,13 +182,43 @@ class WFactor:
         lU = lh.sqrt_h_apply(self.lin.model_kind, self.lin.f0, U, self.lin.logvar)
         return self.scale * self.lin.vjp(lU)
 
-    def t_matmat(self, V: jnp.ndarray) -> jnp.ndarray:
-        """Batched ``Wᵀ`` over probes: ``(P, D) -> (P, M, K)``."""
-        return jax.vmap(self.t_matvec)(V)
+    def t_matmat(self, V: jnp.ndarray,
+                 block: Optional[int] = None) -> jnp.ndarray:
+        """Batched ``Wᵀ`` over probes: ``(P, D) -> (P, M, K)``.
 
-    def matmat(self, U: jnp.ndarray) -> jnp.ndarray:
-        """Batched ``W`` over probes: ``(P, M, K) -> (P, D)``."""
-        return jax.vmap(self.matvec)(U)
+        ``block``: sweep probes in sequential ``lax.map`` chunks of this
+        size. The full vmap keeps P·M examples' tangent activations live
+        at once — at M=4096 LeNet5 a rank-64 preconditioner sweep needs
+        >16 GB and OOMs the 15.75 GB chip (measured, round 4); chunking
+        bounds it to ``block``·M.
+        """
+        return _probe_blocked(jax.vmap(self.t_matvec), V, block)
+
+    def matmat(self, U: jnp.ndarray,
+               block: Optional[int] = None) -> jnp.ndarray:
+        """Batched ``W`` over probes: ``(P, M, K) -> (P, D)``.
+
+        ``block``: as in :meth:`t_matmat`.
+        """
+        return _probe_blocked(jax.vmap(self.matvec), U, block)
+
+    def gram_matmat(self, V: jnp.ndarray,
+                    block: Optional[int] = None) -> jnp.ndarray:
+        """Blocked Gram action ``Wᵀ(W ·)``: ``(P, d) -> (P, d)`` on FLAT
+        probe rows (``d = M·K``), unscaled by β.
+
+        One fused probe sweep (jvp+vjp per chunk) instead of two, so a
+        ``block`` bounds the live tangent activations of BOTH legs. This is
+        the memory-critical inner op of every Nyström preconditioner
+        sketch (``ops.nystrom``).
+        """
+        Mk, Kk = self.inner_shape
+        d = Mk * Kk
+
+        def one(v):
+            return self.t_matvec(self.matvec(v.reshape(Mk, Kk))).reshape(d)
+
+        return _probe_blocked(jax.vmap(one), V, block)
 
     # -- shapes ---------------------------------------------------------------
     @property

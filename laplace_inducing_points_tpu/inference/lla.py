@@ -184,14 +184,15 @@ def _jitted_nystrom_sketch(state, Z, beta, rank: int, key):
     """Nyström sketch of ``β·Gzz`` for the matfree predictor, amortized per
     ``(state, Z)`` — the ``rank`` Gram matvecs are the expensive part; the
     α-dependent tail is O(rank) inside the per-batch step."""
-    from laplace_inducing_points_tpu.ops.nystrom import nystrom_sketch
+    from laplace_inducing_points_tpu.ops.nystrom import (
+        nystrom_sketch, sketch_probe_block)
     w = ops.make_w_factor(state, Z, full_set_size=None)
     M_, K_ = w.inner_shape
     d = M_ * K_
+    blk = sketch_probe_block(M_, rank)
 
     def gram_mm(V):
-        return beta * w.t_matmat(
-            w.matmat(V.reshape(-1, M_, K_))).reshape(-1, d)
+        return beta * w.gram_matmat(V, block=blk)
 
     return nystrom_sketch(gram_mm, d, rank, key)
 
@@ -401,6 +402,12 @@ class ScalableLLAPredictor:
             self.cg_tol = cg_tol
             self.cg_maxiter = cg_maxiter
             self._cg_warned = False
+            if sample_block is None:
+                # each CG iteration of a draw chunk keeps chunk·M examples'
+                # tangent activations live — bound it like the sketch sweep
+                from laplace_inducing_points_tpu.ops.nystrom import (
+                    sketch_probe_block)
+                self.sample_block = sketch_probe_block(M, 1 << 30)
             self.nys = None
             if precond_rank:
                 K_out = int(ops.model_outputs(

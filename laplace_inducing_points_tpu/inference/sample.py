@@ -259,11 +259,12 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
     precond = None
     if precond_rank:
         from laplace_inducing_points_tpu.ops.nystrom import (
-            nystrom_preconditioner)
+            nystrom_preconditioner, sketch_probe_block)
+
+        blk = sketch_probe_block(M_, precond_rank)
 
         def gram_mm(V):                           # rows scaled: β·G action
-            return beta * w.t_matmat(
-                w.matmat(V.reshape(-1, M_, K_))).reshape(-1, d)
+            return beta * w.gram_matmat(V, block=blk)
 
         precond = nystrom_preconditioner(
             gram_mm, d, precond_rank, alpha,

@@ -52,6 +52,22 @@ import jax.numpy as jnp
 
 from laplace_inducing_points_tpu.core.operators import pdot
 
+# Peak live tangent activations of a blocked Gram probe sweep scale with
+# block·M (example·probes). 32768 keeps a LeNet5 sweep near ~1.3 GB — the
+# unblocked rank-64 sketch at M=4096 needs >16 GB and OOMs the 15.75 GB
+# v5e chip (measured, round 4).
+_SWEEP_BUDGET_EXAMPLE_PROBES = 32768
+
+
+def sketch_probe_block(n_examples: int, n_probes: int,
+                       budget: int = _SWEEP_BUDGET_EXAMPLE_PROBES):
+    """Probe-chunk size for a Nyström sketch's Gram sweep (None = one-shot
+    vmap). Bounds ``block·n_examples`` by ``budget`` so the sweep's live
+    tangent activations stay within HBM at any inducing-set size."""
+    if n_probes * n_examples <= budget:
+        return None
+    return max(1, budget // n_examples)
+
 
 def nystrom_sketch(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
                    d: int, rank: int, key: jax.Array):

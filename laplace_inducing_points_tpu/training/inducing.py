@@ -215,11 +215,12 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
         precond = None
         if precond_rank:
             from laplace_inducing_points_tpu.ops.nystrom import (
-                nystrom_preconditioner)
+                nystrom_preconditioner, sketch_probe_block)
+
+            blk = sketch_probe_block(Mk, precond_rank)
 
             def gram_mm(V):                       # (k, d_z) -> (k, d_z)
-                return wz.t_matmat(
-                    wz.matmat(V.reshape(-1, Mk, Kk))).reshape(-1, d_z)
+                return wz.gram_matmat(V, block=blk)
 
             # fold_in keeps the estimator probes' key stream untouched, so
             # precond on/off changes CG convergence only, never the value
@@ -295,11 +296,12 @@ def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
     precond = None
     if precond_rank:
         from laplace_inducing_points_tpu.ops.nystrom import (
-            nystrom_preconditioner)
+            nystrom_preconditioner, sketch_probe_block)
+
+        blk = sketch_probe_block(Mk, precond_rank)
 
         def gram_mm(V):
-            return wz.t_matmat(
-                wz.matmat(V.reshape(-1, Mk, Kk))).reshape(-1, d_z)
+            return wz.gram_matmat(V, block=blk)
 
         precond = nystrom_preconditioner(
             gram_mm, d_z, precond_rank, rho,

@@ -198,3 +198,54 @@ def test_sketch_columns_stay_aligned_with_zero_modes():
     for j in range(r):
         dot = float(jnp.abs(jnp.dot(U[:, j], Q[:, j])))
         assert dot > 0.99, (j, dot)
+
+
+def test_blocked_probe_sweeps_match_unblocked():
+    """Round-4 regression: the rank-64 sketch sweep OOMed the chip at
+    M=4096 because all probes' tangent activations were live at once
+    (16.2 GB / 15.75 GB HBM). The probe-blocked sweeps must bound memory
+    WITHOUT changing any value: blocked t_matmat / matmat / gram_matmat
+    agree with the one-shot vmap, including at non-divisor block sizes."""
+    from laplace_inducing_points_tpu.core import operators as ops
+    from laplace_inducing_points_tpu.ops.nystrom import (
+        nystrom_sketch, sketch_probe_block)
+
+    _, state, (x, _) = classifier_state()
+    w = ops.make_w_factor(state, x[:5], full_set_size=11)
+    Mk, Kk = w.inner_shape
+    d = Mk * Kk
+    D = w.num_params
+    P = 7
+    V = jax.random.normal(jax.random.PRNGKey(0), (P, D))
+    U = jax.random.normal(jax.random.PRNGKey(1), (P, Mk, Kk))
+    F = jax.random.normal(jax.random.PRNGKey(2), (P, d))
+    for blk in (1, 2, 3, 7, 50):
+        assert jnp.allclose(w.t_matmat(V, block=blk), w.t_matmat(V),
+                            atol=1e-6), blk
+        assert jnp.allclose(w.matmat(U, block=blk), w.matmat(U),
+                            atol=1e-6), blk
+        assert jnp.allclose(w.gram_matmat(F, block=blk), w.gram_matmat(F),
+                            atol=1e-6), blk
+
+    # blocking must not change the preconditioner's ACTION (the junk
+    # zero-mode columns of U are arbitrary orthonormal directions — f32
+    # scheduling noise rotates them freely, but their coeff is 0, so
+    # P⁻¹v is the invariant to pin; good-column eigenvalues likewise)
+    from laplace_inducing_points_tpu.ops.nystrom import precond_from_sketch
+    gm = lambda b: (lambda Vq: w.gram_matmat(Vq, block=b))
+    U0, lam0, good0 = nystrom_sketch(gm(None), d, 6, jax.random.PRNGKey(7))
+    U1, lam1, good1 = nystrom_sketch(gm(2), d, 6, jax.random.PRNGKey(7))
+    assert (good0 == good1).all()
+    assert jnp.allclose(jnp.where(good0, lam0, 0.0),
+                        jnp.where(good1, lam1, 0.0), rtol=1e-4, atol=1e-5)
+    rho = 0.05
+    v = jax.random.normal(jax.random.PRNGKey(9), (3, d))
+    p0 = precond_from_sketch(U0, lam0, good0, rho)(v)
+    p1 = precond_from_sketch(U1, lam1, good1, rho)(v)
+    assert jnp.allclose(p0, p1, rtol=1e-3, atol=1e-4)
+
+    # the block policy: one-shot below budget, budget/M above, never 0
+    assert sketch_probe_block(1024, 16) is None          # 16k <= 32k
+    assert sketch_probe_block(4096, 64) == 8             # 32768 // 4096
+    assert sketch_probe_block(6144, 64) == 5
+    assert sketch_probe_block(100_000, 64) == 1

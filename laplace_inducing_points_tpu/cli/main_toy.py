@@ -74,6 +74,11 @@ def build_parser():
                         "RESULTS.md 'Banana round 4'). Default: config "
                         "optimization.ip.restarts (toy configs: 4); 1 = "
                         "single run")
+    p.add_argument("--alpha_train", type=float, default=None,
+                   help="train Z at this prior precision (landscape "
+                        "smoothing; evaluation keeps the pipeline alpha). "
+                        "Default: config optimization.ip.alpha_train, else "
+                        "the pipeline alpha. RESULTS.md 'Banana round 4'")
     p.add_argument("--ip_seed", type=int, default=None,
                    help="override optimization.ip.seed (Z-training rng, "
                         "minibatch shuffle, restart inits) — used by the "
@@ -183,8 +188,19 @@ def main(argv=None):
             cb = nplot.make_inducing_callback(ds_name, xtrain=tr[0],
                                               ytrain=tr[1],
                                               fig_dir=args.fig_dir)
+        # Z may be TRAINED at a smoothed (higher-alpha) objective while the
+        # posterior/eval alpha stays alpha_ip: the low-alpha KL landscape is
+        # multi-modal seed-to-seed while the alpha~1 one is not (measured:
+        # scripts/banana_restart_study.py, RESULTS.md "Banana round 4").
+        alpha_train = (args.alpha_train if args.alpha_train is not None
+                       else ip_cfg.get("alpha_train"))
+        if alpha_train is not None and float(alpha_train) != float(alpha_ip):
+            print(f"[alpha] Z-training at alpha_train={alpha_train} "
+                  f"(posterior/eval alpha stays {alpha_ip})")
         train_kwargs = dict(
-            alpha=alpha_ip, num_steps=ip_cfg["epochs"],
+            alpha=(float(alpha_train) if alpha_train is not None
+                   else alpha_ip),
+            num_steps=ip_cfg["epochs"],
             full_set_size=full_set_size, objective=objective,
             rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
             st_samples=ip_cfg["st_samples"],
@@ -197,6 +213,8 @@ def main(argv=None):
         n_restarts = (args.restarts if args.restarts is not None
                       else ip_cfg.get("restarts", 1))
         meta = {"alpha_ip": float(alpha_ip), "objective": objective}
+        if alpha_train is not None:
+            meta["alpha_train"] = float(alpha_train)
         if n_restarts > 1:
             Z, kl_best, kls = train_inducing_points_restarts(
                 state, z_init, optax.adam(ip_cfg["lr"]), ip_batches,

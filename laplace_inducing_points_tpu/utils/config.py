@@ -27,7 +27,13 @@ IP_DEFAULTS = {
     "objective": "gram",        # framework default: exact Gram objective
     "example_block": None,      # chunk example axis of W-row builds (memory cap)
     "restarts": 1,              # k-restart Z training, selected by full-set
-                                # KL (toy configs set 4; RESULTS.md r4)
+                                # KL (RESULTS.md r4)
+    "alpha_train": None,        # train Z at this prior precision instead of
+                                # the pipeline alpha (landscape smoothing —
+                                # evaluation still uses the pipeline alpha).
+                                # RESULTS.md "Banana round 4": alpha_train=1
+                                # tightens the fresh-rerun OOD-AUROC band
+                                # from 75.7-88.0 to 80.9-84.8 on banana.
     # stochastic_matfree (d_z-unbounded CG-Woodbury) knobs — ignored by
     # the other objectives. Defaults follow the round-4 accuracy contract
     # (inference/sample.py::make_matheron_sampler): deflation ON, a tol the

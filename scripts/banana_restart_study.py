@@ -51,7 +51,7 @@ from laplace_inducing_points_tpu.data.toy import (ensure_toy_npz,
                                                   ring_cache_fname,
                                                   train_test_val_split)
 from laplace_inducing_points_tpu.evaluation.harness import (
-    auroc_ood, eval_dataset, eval_dataset_extended)
+    auroc_ood, eval_dataset, eval_dataset_extended, make_batch_sampler)
 from laplace_inducing_points_tpu.inference.lla import ScalableLLAPredictor
 from laplace_inducing_points_tpu.models.registry import get_model
 from laplace_inducing_points_tpu.models.state import create_train_state
@@ -71,6 +71,13 @@ def main() -> None:
     p.add_argument("--mc", type=int, default=None,
                    help="eval MC samples (default: config ip.mc_samples)")
     p.add_argument("--range_clip", type=float, default=1.0)
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="override ip.epochs (Z-training steps)")
+    p.add_argument("--alpha_anneal", type=str, default=None,
+                   help="comma list of training-phase alphas (continuation: "
+                        "train num_steps/len(list) steps at each, e.g. "
+                        "'10,0.0025'). Eval alpha stays the config value. "
+                        "Default: config alpha throughout.")
     p.add_argument("--data_dir", default="data/")
     p.add_argument("--ckpt_map", default="checkpoint/map/")
     p.add_argument("--out", default="results/banana_r4_restart_study.jsonl")
@@ -119,8 +126,28 @@ def main() -> None:
     X_full = jnp.asarray(tr[0])
     range_clip = args.range_clip if args.range_clip > 0 else None
 
+    # OOD-free far-probe set: uniform points in the 25%-expanded bounding
+    # box of the TRAIN set, kept only where farther from every train point
+    # than 3x the 95th-percentile nearest-neighbor spacing. Uses train
+    # statistics only (no OOD data) — a candidate-selection signal for
+    # "does this Z keep uncertainty high off the data manifold?".
+    pk = jax.random.PRNGKey(977)
+    lo, hi = X_full.min(0), X_full.max(0)
+    span = hi - lo
+    cand = jax.random.uniform(pk, (4096, X_full.shape[1]),
+                              minval=lo - 0.25 * span,
+                              maxval=hi + 0.25 * span)
+    d2 = jnp.sum((cand[:, None, :] - X_full[None, :, :]) ** 2, -1)
+    nn_cand = jnp.sqrt(d2.min(1))
+    d2_tr = jnp.sum((X_full[:, None, :] - X_full[None, :, :]) ** 2, -1)
+    d2_tr = d2_tr + jnp.eye(X_full.shape[0]) * 1e9
+    nn_spacing = jnp.percentile(jnp.sqrt(d2_tr.min(1)), 95)
+    far = cand[nn_cand > 3.0 * nn_spacing][:256]
+    print(f"[study] far-probe set: {far.shape[0]} points "
+          f"(spacing threshold {float(3.0 * nn_spacing):.3f})", flush=True)
+
     train_kwargs = dict(
-        alpha=alpha, num_steps=ip_cfg["epochs"],
+        alpha=alpha, num_steps=args.num_steps or ip_cfg["epochs"],
         full_set_size=full_set_size,
         objective=ip_cfg.get("objective", "gram"),
         st_samples=ip_cfg["st_samples"],
@@ -148,8 +175,19 @@ def main() -> None:
                                         replace=X_full.shape[0] < m)
                 z0 = X_full[idx]
             t0 = time.time()
-            Z = train_inducing_points(state, z0, optax.adam(ip_cfg["lr"]),
-                                      batches, rng=r_rng, **train_kwargs)
+            if args.alpha_anneal:
+                phases = [float(a) for a in args.alpha_anneal.split(",")]
+                per = max(1, train_kwargs["num_steps"] // len(phases))
+                Z = z0
+                for pi, a_ph in enumerate(phases):
+                    kw = dict(train_kwargs, alpha=a_ph, num_steps=per)
+                    Z = train_inducing_points(
+                        state, Z, optax.adam(ip_cfg["lr"]), batches,
+                        rng=jax.random.fold_in(r_rng, 100 + pi), **kw)
+            else:
+                Z = train_inducing_points(state, z0,
+                                          optax.adam(ip_cfg["lr"]),
+                                          batches, rng=r_rng, **train_kwargs)
             t_train = time.time() - t0
             kl = float(full_set_kl(Z, X_full, state, alpha, full_set_size))
 
@@ -169,7 +207,16 @@ def main() -> None:
                 state, rec["probs"], ood_loader, Z, alpha=alpha,
                 full_set_size=full_set_size, num_mc_samples=mc,
                 rng=jax.random.fold_in(erng, 3), predictor=predictor)
+            sampler = make_batch_sampler(
+                state, Z, alpha=alpha, full_set_size=full_set_size,
+                num_mc_samples=mc, predictor=predictor)
+            logits = sampler(far, jax.random.fold_in(erng, 4), None)
+            p_probe = jax.nn.softmax(logits, axis=-1).mean(0)
+            probe_maxp = float(jnp.mean(jnp.max(p_probe, -1)))
+            probe_ent = float(jnp.mean(
+                -jnp.sum(p_probe * jnp.log(p_probe + 1e-12), -1)))
             row = {"seed": ip_seed, "restart": r,
+                   "alpha_anneal": args.alpha_anneal,
                    "full_set_kl": round(kl, 4),
                    "val_nll": round(float(val_nll), 5),
                    "nll": round(float(rec["nll"]), 5),
@@ -177,6 +224,8 @@ def main() -> None:
                    "ece": round(float(rec["ece"]), 5),
                    "brier": round(float(rec["brier"]), 5),
                    "ood_auroc": round(float(auroc), 5),
+                   "probe_maxp": round(probe_maxp, 5),
+                   "probe_ent": round(probe_ent, 5),
                    "train_s": round(t_train, 1)}
             print("[study] " + json.dumps(row), flush=True)
             with open(args.out, "a") as fh:
@@ -185,13 +234,16 @@ def main() -> None:
     # ---- per-seed selector comparison ------------------------------------
     rows = [json.loads(l) for l in open(args.out)]
     seeds = sorted({r["seed"] for r in rows})
-    sel = {"kl": [], "val_nll": [], "oracle": [], "mean": [], "first": []}
+    sel = {"kl": [], "val_nll": [], "probe_ent": [], "oracle": [],
+           "mean": [], "first": []}
     for sd in seeds:
         cands = [r for r in rows if r["seed"] == sd]
         sel["kl"].append(min(cands, key=lambda r: r["full_set_kl"])
                          ["ood_auroc"])
         sel["val_nll"].append(min(cands, key=lambda r: r["val_nll"])
                               ["ood_auroc"])
+        sel["probe_ent"].append(max(cands, key=lambda r: r["probe_ent"])
+                                ["ood_auroc"])
         sel["oracle"].append(max(c["ood_auroc"] for c in cands))
         sel["mean"].append(float(np.mean([c["ood_auroc"] for c in cands])))
         sel["first"].append(cands[0]["ood_auroc"])

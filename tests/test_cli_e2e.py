@@ -20,7 +20,8 @@ def micro_config(tmp_path):
             "ip": {"m": 6, "batch_size": 16, "epochs": 4, "lr": 0.05,
                    "mc_samples": 8, "seed": 4, "st_samples": 16,
                    "slq_samples": 1, "slq_num_matvecs": 4,
-                   "objective": "gram", "restarts": 2},
+                   "objective": "gram", "restarts": 2,
+                   "alpha_train": 0.5},
         },
     }
     path = tmp_path / "micro.yml"
@@ -44,6 +45,12 @@ def test_full_pipeline_cli(micro_config, tmp_path, monkeypatch, capsys):
     assert "[DONE] MAP training." in out
     assert "[DONE] Inducing training." in out
     assert "inducing restarts] selected KL" in out   # k-restart path ran
+    # alpha_train decouples the Z-training landscape from the eval alpha
+    assert "Z-training at alpha_train=0.5" in out
+    import json
+    meta = json.load(open(tmp_path / "ckpt_ind" / "ind_banana_meta.json"))
+    assert meta["alpha_train"] == 0.5
+    assert meta["alpha_ip"] == 0.05   # eval alpha untouched
     assert "[DONE] Visualization." in out
     figs = os.listdir(tmp_path / "fig")
     assert any("lla_ip" in f for f in figs)

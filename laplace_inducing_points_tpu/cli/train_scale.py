@@ -57,6 +57,12 @@ def build_parser():
     p.add_argument("--data_dir", default="data/")
     p.add_argument("--no-mesh", action="store_true",
                    help="disable data-parallel sharding")
+    p.add_argument("--train_log", default=None,
+                   help="JSONL path: per-step {step, loss, seconds} rows "
+                        "for the inducing phase plus one kl_training_run "
+                        "summary row (loss trajectory, s/step, CG "
+                        "healthcheck) — the training-run evidence format "
+                        "of results/matfree_scale_tpu.jsonl")
     p.add_argument("--range_clip", type=float, default=1.0,
                    help="clip min for (alpha + beta*lam) inside the "
                         "posterior inverse sqrt during the alpha grid "
@@ -163,6 +169,24 @@ def main(argv=None):
         alpha_src = "grid"
 
     objective = args.objective or ip_cfg.get("objective", "gram")
+
+    callback = None
+    train_log_rows = []
+    if args.train_log:
+        import json
+        import time
+
+        t_last = [time.perf_counter()]
+
+        def callback(step, _Z, loss):
+            now = time.perf_counter()
+            row = {"step": step, "loss": round(loss, 4),
+                   "seconds": round(now - t_last[0], 2)}
+            t_last[0] = now
+            train_log_rows.append(row)
+            with open(args.train_log, "a" if step else "w") as f:
+                f.write(json.dumps(row) + "\n")
+
     Z = train_inducing_points(
         state, z_init, optax.adam(ip_cfg["lr"]),
         cycling_batches(ip_loader), alpha=alpha_ip,
@@ -173,7 +197,36 @@ def main(argv=None):
         slq_num_matvecs=ip_cfg["slq_num_matvecs"],
         example_block=ip_cfg.get("example_block"),
         cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
-        precond_rank=ip_cfg["precond_rank"])
+        precond_rank=ip_cfg["precond_rank"], callback=callback)
+    if args.train_log and train_log_rows:
+        import json
+
+        import numpy as np
+        losses = [r["loss"] for r in train_log_rows]
+        warm = ([r["seconds"] for r in train_log_rows[1:]]
+                or [r["seconds"] for r in train_log_rows])
+        summary = {"op": "kl_training_run", "objective": objective,
+                   "M": int(m), "steps": len(losses),
+                   "seconds_per_step": round(float(np.median(warm)), 2),
+                   "first_step_seconds": train_log_rows[0]["seconds"],
+                   "loss_first": losses[0], "loss_last": losses[-1],
+                   "loss_min": min(losses), "alpha_ip": float(alpha_ip),
+                   "cg_tol": ip_cfg["cg_tol"],
+                   "cg_maxiter": ip_cfg["cg_maxiter"],
+                   "precond_rank": ip_cfg["precond_rank"]}
+        if objective == "stochastic_matfree":
+            from laplace_inducing_points_tpu.training.inducing import (
+                matfree_cg_healthcheck)
+            hc = matfree_cg_healthcheck(
+                state, Z, alpha_ip, full_set_size=full_set_size,
+                cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
+                precond_rank=ip_cfg["precond_rank"], warn=False)
+            summary["cg_rel_residual_post"] = f"{hc['cg_rel_residual']:.2e}"
+            summary["cg_converged_post"] = bool(hc["converged"])
+        with open(args.train_log, "a") as f:
+            f.write(json.dumps(summary) + "\n")
+        print(f"[train_log] wrote {len(train_log_rows)} step rows + summary "
+              f"-> {args.train_log}")
     save_array(Z, args.ckpt_induc, f"ind_{args.dataset}", ip_cfg["epochs"])
     # record the alpha this Z was trained for, so cli.evaluate's
     # "pipeline meta" precedence reproduces the operating point without a

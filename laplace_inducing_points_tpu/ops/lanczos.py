@@ -127,12 +127,25 @@ class Bidiag(NamedTuple):
 def golub_kahan_bidiag(matvec: Callable[[jnp.ndarray], jnp.ndarray],
                        v0: jnp.ndarray, num_matvecs: int,
                        t_matvec: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
-                       reorthogonalize: bool = True) -> Bidiag:
+                       reorthogonalize: bool = True,
+                       remat_body: bool = False) -> Bidiag:
     """Golub–Kahan bidiagonalization of a rectangular operator ``G``.
 
     Produces upper-bidiagonal ``B`` with ``GᵀG ≈ V B̃ᵀB̃ Vᵀ`` on the Krylov
     space of ``(GᵀG, v0)``. The adjoint is derived with
     ``jax.linear_transpose`` when not supplied — ``G`` must be linear.
+
+    ``remat_body``: checkpoint each scan iteration, so the backward pass
+    recomputes the matvec/t_matvec internals instead of storing them.
+    Under reverse-mode AD the scan otherwise keeps EVERY iteration's
+    operator tangents live — for a batched-model ``W`` factor that is
+    ``num_matvecs × M`` examples' activations (measured 5.25 GiB at
+    M=4096 LeNet5 / 64 matvecs, the allocation that pushed the round-4
+    preconditioned objective grad 0.5 GiB over the v5e's 15.75 GiB HBM).
+    Values and gradients are bit-identical; backward recomputes one extra
+    matvec pair per iteration. The per-step carry saves (the ``(k, d)``
+    reorthogonalization basis) remain — inherent to differentiating
+    full-reorth Krylov by unrolled scan.
 
     Parity: ``matfree.decomp.bidiag`` as used for the SLQ log-det
     (``/root/reference/src/train_inducing.py:155-171``).
@@ -166,6 +179,8 @@ def golub_kahan_bidiag(matvec: Callable[[jnp.ndarray], jnp.ndarray],
         V = V.at[idx].set(v)
         return (V, v_next, u, beta), (alpha, beta)
 
+    if remat_body:
+        body = jax.checkpoint(body, prevent_cse=False)
     V0 = jnp.zeros((k, d), v0.dtype)
     (V, *_), (alphas, betas) = jax.lax.scan(
         body, (V0, v_init, jnp.zeros_like(u_probe), jnp.asarray(0.0, v0.dtype)),

@@ -46,7 +46,8 @@ def slq_logdet_sym(matvec: Callable[[jnp.ndarray], jnp.ndarray],
 def slq_logdet_product(matvec: Callable[[jnp.ndarray], jnp.ndarray],
                        probes: jnp.ndarray, num_matvecs: int,
                        t_matvec: Optional[Callable] = None,
-                       remat: bool = True) -> jnp.ndarray:
+                       remat: bool = True,
+                       remat_body: bool = False) -> jnp.ndarray:
     """``logdet(GᵀG)`` via Golub–Kahan bidiagonalization SLQ.
 
     Per probe: ``vᵀ log(GᵀG) v ≈ ‖v‖² · e₁ᵀ log(B̃ᵀB̃) e₁`` with the small
@@ -57,7 +58,8 @@ def slq_logdet_product(matvec: Callable[[jnp.ndarray], jnp.ndarray],
     (``/root/reference/src/train_inducing.py:155-160``).
     """
     def single(v):
-        bi = lz.golub_kahan_bidiag(matvec, v, num_matvecs, t_matvec=t_matvec)
+        bi = lz.golub_kahan_bidiag(matvec, v, num_matvecs, t_matvec=t_matvec,
+                                   remat_body=remat_body)
         B = lz.bidiag_dense(bi.alphas, bi.betas)
         # Graded diagonal jitter breaks exact singular-value degeneracy.
         # When num_matvecs exceeds the Krylov rank (common: rank(Gzz) ≤

@@ -257,9 +257,12 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
         a, b = w[:D], w[D:]
         return sqrt_alpha * a + sqrt_beta * wz.matvec(b.reshape(Mk, Kk))
 
+    # remat_body on the matfree path: the scan's saved operator tangents
+    # (num_matvecs x M examples' activations) are what OOMed the M=4096
+    # preconditioned grad on chip (ops/lanczos.py::golub_kahan_bidiag)
     logdet_term = slq_mod.slq_logdet_product(
         stacked, probes[:slq_samples], num_matvecs=slq_num_matvecs,
-        t_matvec=stacked_t)
+        t_matvec=stacked_t, remat_body=not materialize_w)
 
     return trace_term + logdet_term
 

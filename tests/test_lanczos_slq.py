@@ -100,6 +100,24 @@ def test_slq_product_differentiable():
     assert jnp.allclose(g, g_exact, rtol=1e-2, atol=1e-2)
 
 
+def test_slq_remat_body_bitwise_value_and_grad():
+    """remat_body is a pure memory knob: value AND gradient must match the
+    unrematted scan bitwise (it re-executes identical primitives)."""
+    key = jax.random.PRNGKey(11)
+    G = jax.random.normal(key, (10, 6)) / 3.0
+    probes = st.rademacher_probes(jax.random.PRNGKey(12), 4, 6)
+
+    def loss(s, remat_body):
+        Gfun = lambda v: jnp.concatenate([v, s * (G @ v)])
+        return slq.slq_logdet_product(Gfun, probes, num_matvecs=6,
+                                      remat_body=remat_body)
+
+    v0, g0 = jax.value_and_grad(loss)(1.3, False)
+    v1, g1 = jax.value_and_grad(loss)(1.3, True)
+    assert v0 == v1
+    assert g0 == g1
+
+
 def test_golub_kahan_orthonormal_right_vectors():
     G = jax.random.normal(jax.random.PRNGKey(6), (20, 12))
     v0 = jax.random.normal(jax.random.PRNGKey(7), (12,))

@@ -163,15 +163,22 @@ def main() -> None:
                       materialize_w=materialize,
                       cg_tol=args.cg_tol, cg_maxiter=args.cg_maxiter,
                       precond_rank=precond_rank)
+        # X and state ride as jit ARGUMENTS, never closure constants: an
+        # inlined (batch, 28, 28, 1) X makes the TPU AOT compiler constant-
+        # fold the whole batched forward pass — the ~1.3 MB-MLIR graphs
+        # with X inlined were OOM-SIGKILLed by the remote compile helper
+        # (twice, round 4), while the argument-passing optimize_step (296
+        # KB MLIR) of the same objective compiled fine. The verify-skill
+        # relay gotcha, in its compile-memory form.
         if with_grad:
-            fn = jax.jit(lambda z: jax.value_and_grad(obj)(
-                z, X, state, args.alpha, jax.random.PRNGKey(4)))
-            t, (val, g) = timed(fn, Z)
+            fn = jax.jit(lambda z, x, st: jax.value_and_grad(obj)(
+                z, x, st, args.alpha, jax.random.PRNGKey(4)))
+            t, (val, g) = timed(fn, Z, X, state)
             gnorm = float(jnp.linalg.norm(g.ravel()))
         else:
-            fn = jax.jit(lambda z: obj(z, X, state, args.alpha,
-                                       jax.random.PRNGKey(4)))
-            t, val = timed(fn, Z)
+            fn = jax.jit(lambda z, x, st: obj(z, x, st, args.alpha,
+                                              jax.random.PRNGKey(4)))
+            t, val = timed(fn, Z, X, state)
             gnorm = None
         return t, float(np.asarray(val)), gnorm
 

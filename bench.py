@@ -199,9 +199,16 @@ def _n_long():
     return 4 if jax.devices()[0].platform == "cpu" else 30
 
 
-def slope_time(sweep, V0, *consts, n_reps: int = 4):
+def slope_time(sweep, V0, *consts, n_reps: int = 4, n_long: int = None):
     """Device time per op: sweep maps (V, *consts) -> array shaped like V;
     iterations are chained through the carry so they serialize.
+
+    ``n_long`` overrides the chain length. For sub-millisecond ops the
+    default 30-chain's device time (~14 ms for the headline sweep) is
+    SMALLER than the ~24 ms dispatch latency, so ±3 ms of run-to-run
+    tunnel jitter moves the slope by ±0.1 ms — a ±20% swing on a 0.455 ms
+    quantity (the round-3→4 487k-vs-562k MVP/s capture spread). A 120-
+    chain puts ~55 ms of device time under the same jitter: ±5%.
 
     On CPU (watchdog fallback) there is no dispatch latency to difference
     out, so plain per-call timing with a couple of reps is both sufficient
@@ -216,7 +223,8 @@ def slope_time(sweep, V0, *consts, n_reps: int = 4):
             best = min(best, time.perf_counter() - t0)
         return best, best
 
-    n_long = _n_long()
+    if n_long is None:
+        n_long = _n_long()
 
     @partial(jax.jit, static_argnames=("n",))
     def scan_fn(V, n, *consts):
@@ -329,7 +337,7 @@ def main():
             f"MFU {100 * tf / peak:.1f}%{extra})")
         return tf
 
-    t_def, t1_def = slope_time(sweep_default, probes, R)
+    t_def, t1_def = slope_time(sweep_default, probes, R, n_long=120)
     tflops_def = report("amortized sweep DEFAULT (production estimator "
                         "path)", t_def,
                         extra=f"; bf16 HBM floor {bf16_floor_ms:.3f} ms")
@@ -337,11 +345,11 @@ def main():
     log(f"[bench] dispatch+readback latency (differenced out): "
         f"{latency_ms:.1f} ms")
 
-    t_hi, _ = slope_time(sweep_highest, probes, R)
+    t_hi, _ = slope_time(sweep_highest, probes, R, n_long=120)
     tflops_hi = report("amortized sweep HIGHEST (exact f32)", t_hi)
 
     if jax.devices()[0].platform != "cpu":      # kernels are TPU-only
-        t_ker, _ = slope_time(sweep_pallas, probes, R)
+        t_ker, _ = slope_time(sweep_pallas, probes, R, n_long=120)
         report("amortized sweep pallas study kernels", t_ker)
 
     # one-shot: R rebuilt inside every sweep (round-1 semantics)

@@ -86,6 +86,11 @@ def build_parser():
                         "'Banana round 4'")
     p.add_argument("--plot_Z", action="store_true")
     p.add_argument("--plot_X", action="store_true")
+    p.add_argument("--style", default=None, choices=["thesis"],
+                   help="'thesis' applies the reference's global figure "
+                        "theme (seaborn darkgrid, Computer Modern serif at "
+                        "size 22, icefire heatmaps; viz/style.py — mathtext "
+                        "in place of its usetex, no TeX binary needed)")
     p.add_argument("--comparison", action="store_true",
                    help="also render the LA-vs-LLA 1x3 predictive-mean "
                         "figure and the 2x1 IP-LLA mean/std figure "
@@ -103,6 +108,9 @@ def main(argv=None):
     from laplace_inducing_points_tpu.utils import acquire_tpu_lock
     acquire_tpu_lock()   # serialize with the driver bench window
     args = build_parser().parse_args(argv)
+    if args.style == "thesis":
+        from laplace_inducing_points_tpu.viz.style import use_thesis_style
+        use_thesis_style()
     cfg = load_experiment_config(args.config)
     model_cfg = cfg["model"]
     opt_cfg = cfg["optimization"]

@@ -18,6 +18,14 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
+def _heat_cmap():
+    """Diverging heatmap colormap: matplotlib's ``RdBu`` by default, the
+    reference's ``icefire`` palette (``/root/reference/src/nplot.py:43-45``)
+    once :func:`viz.style.use_thesis_style` is active."""
+    from laplace_inducing_points_tpu.viz import style
+    return style.get_palette() if style.is_active() else "RdBu"
+
+
 def plot_regression_data(ax, x, y, **kw):
     ax.scatter(np.asarray(x).ravel(), np.asarray(y).ravel(), s=12,
                alpha=0.8, **kw)
@@ -85,7 +93,7 @@ def plot_lla_2d_classification(state, xtrain, ytrain, Z, alpha, *,
     std_p1 = probs.std(0)[:, 1].reshape(xx.shape)
 
     fig, axs = plt.subplots(1, 2, figsize=(13, 5))
-    im0 = axs[0].contourf(xx, yy, mean_p1, levels=30, cmap="RdBu")
+    im0 = axs[0].contourf(xx, yy, mean_p1, levels=30, cmap=_heat_cmap())
     axs[0].set_title("predictive mean p(class 1)")
     fig.colorbar(im0, ax=axs[0])
     im1 = axs[1].contourf(xx, yy, std_p1, levels=30, cmap="viridis")
@@ -119,7 +127,7 @@ def plot_map_2d_classification(state, xtrain, ytrain, *,
     logits = model_outputs(state, state.params, jnp.asarray(pts))
     p1 = np.asarray(jax.nn.softmax(logits, axis=-1))[:, 1].reshape(xx.shape)
     fig, ax = plt.subplots(figsize=(8, 5))
-    im = ax.contourf(xx, yy, p1, levels=30, cmap="RdBu")
+    im = ax.contourf(xx, yy, p1, levels=30, cmap=_heat_cmap())
     fig.colorbar(im, ax=ax)
     plot_binary_classification_data(ax, xtrain, ytrain)
     ax.set_title("MAP estimator")
@@ -219,14 +227,14 @@ def make_predictive_mean_figure(state, xtrain, ytrain, alpha, *,
     for ax, surf, title in zip(
             axs, (p_map, p_la, p_lla),
             ("NN MAP", "Without Linearization", "With Linearization")):
-        ax.pcolormesh(xx, yy, surf, cmap="RdBu", norm=norm, rasterized=True)
+        ax.pcolormesh(xx, yy, surf, cmap=_heat_cmap(), norm=norm, rasterized=True)
         plot_binary_classification_data(ax, xtrain, ytrain)
         ax.set_title(title)
         ax.set_xlabel(r"$x_1$")
         ax.set_xticks([])
         ax.set_yticks([])
     axs[0].set_ylabel(r"$x_2$")
-    fig.colorbar(mpl.cm.ScalarMappable(norm=norm, cmap="RdBu"), ax=axs,
+    fig.colorbar(mpl.cm.ScalarMappable(norm=norm, cmap=_heat_cmap()), ax=axs,
                  location="left",
                  label=r"$\mathrm{E}[y^* \mid x^*, \mathcal{D}]$")
     if save_path:
@@ -266,7 +274,7 @@ def make_comparison_figure(state, xtrain, ytrain, Z, alpha, *,
 
     fig, axs = plt.subplots(2, 1, figsize=(7, 11), sharex=True, sharey=True,
                             constrained_layout=True)
-    im0 = axs[0].pcolormesh(xx, yy, mean_p, cmap="RdBu", rasterized=True)
+    im0 = axs[0].pcolormesh(xx, yy, mean_p, cmap=_heat_cmap(), rasterized=True)
     fig.colorbar(im0, ax=axs[0])
     im1 = axs[1].pcolormesh(xx, yy, std_p, cmap="viridis", rasterized=True)
     fig.colorbar(im1, ax=axs[1])

@@ -25,3 +25,32 @@ def test_make_comparison_figure(tmp_path):
         state, x, y, Z, 0.1, key=jax.random.PRNGKey(0), num_mc_samples=8,
         full_set_size=32, grid_num=24, save_path=str(tmp_path / "cmp.png"))
     assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_thesis_style_activates_and_restores(tmp_path):
+    """viz.style parity knob: darkgrid + CM serif + icefire heatmaps
+    (`/root/reference/src/nplot.py:16-45`), opt-in and figure-compatible."""
+    import matplotlib as mpl
+
+    from laplace_inducing_points_tpu.viz import style
+
+    saved = mpl.rcParams.copy()
+    try:
+        assert not style.is_active() or True  # other tests never enable it
+        style.use_thesis_style()
+        assert style.is_active()
+        assert mpl.rcParams["font.family"] == ["serif"]
+        assert mpl.rcParams["font.size"] == 22.0
+        assert mpl.rcParams["mathtext.fontset"] == "cm"
+        assert mpl.rcParams["axes.facecolor"] == "#EAEAF2"  # darkgrid
+        cmap = style.get_palette()
+        assert callable(cmap)  # a real Colormap, works as cmap= argument
+        assert nplot._heat_cmap() is not None
+        # styled figure still renders headless
+        _, state, (x, y) = classifier_state()
+        out = nplot.plot_map_2d_classification(
+            state, x, y, grid_num=16, save_path=str(tmp_path / "styled.png"))
+        assert os.path.exists(out) and os.path.getsize(out) > 1000
+    finally:
+        mpl.rcParams.update(saved)
+        style._ACTIVE = False

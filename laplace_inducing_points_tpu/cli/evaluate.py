@@ -116,6 +116,10 @@ def build_parser():
                         "runs / CI; metrics then cover a subset)")
     p.add_argument("--out_json", default=None,
                    help="append per-repetition metrics as JSON lines")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a TensorBoard-loadable jax.profiler device "
+                        "trace of the LAST evaluation repetition (warm, "
+                        "post-compile) into DIR (utils.profiling.trace)")
     p.add_argument("--data_dir", default="data/")
     return p
 
@@ -233,14 +237,26 @@ def main(argv=None):
         test_loader = _Limited(test_loader, args.max_batches)
         print(f"[eval] limited to first {args.max_batches} test batches")
 
+    import contextlib
+
+    from laplace_inducing_points_tpu.utils.profiling import trace
+
     rng = jax.random.PRNGKey(155858)
     for i in range(args.iters):
         rng = jax.random.fold_in(rng, i)
         t0 = time.time()
-        rec = eval_dataset_extended(
-            state, test_loader, Z, alpha=alpha, full_set_size=full_set_size,
-            num_mc_samples=ip_cfg["mc_samples"], rng=rng,
-            scalable=args.scalable, predictor=predictor)
+        # trace only the last repetition: it is warm (compiles and the
+        # amortized factor build are behind it), so the trace shows the
+        # steady-state device execution, not one-time work
+        prof = (trace(args.profile)
+                if args.profile and i == args.iters - 1
+                else contextlib.nullcontext())
+        with prof:
+            rec = eval_dataset_extended(
+                state, test_loader, Z, alpha=alpha,
+                full_set_size=full_set_size,
+                num_mc_samples=ip_cfg["mc_samples"], rng=rng,
+                scalable=args.scalable, predictor=predictor)
         dt = time.time() - t0
         if "acc" in rec:
             print(f"\nTest NLL   : {rec['nll']:8.5f}"

@@ -63,6 +63,11 @@ def build_parser():
                         "summary row (loss trajectory, s/step, CG "
                         "healthcheck) — the training-run evidence format "
                         "of results/matfree_scale_tpu.jsonl")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a TensorBoard-loadable jax.profiler device "
+                        "trace of the inducing-training phase into DIR "
+                        "(utils.profiling.trace). Traces grow with step "
+                        "count — use a short run when profiling")
     p.add_argument("--range_clip", type=float, default=1.0,
                    help="clip min for (alpha + beta*lam) inside the "
                         "posterior inverse sqrt during the alpha grid "
@@ -187,17 +192,24 @@ def main(argv=None):
             with open(args.train_log, "a" if step else "w") as f:
                 f.write(json.dumps(row) + "\n")
 
-    Z = train_inducing_points(
-        state, z_init, optax.adam(ip_cfg["lr"]),
-        cycling_batches(ip_loader), alpha=alpha_ip,
-        num_steps=ip_cfg["epochs"], full_set_size=full_set_size,
-        objective=objective,
-        rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
-        st_samples=ip_cfg["st_samples"], slq_samples=ip_cfg["slq_samples"],
-        slq_num_matvecs=ip_cfg["slq_num_matvecs"],
-        example_block=ip_cfg.get("example_block"),
-        cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
-        precond_rank=ip_cfg["precond_rank"], callback=callback)
+    import contextlib
+
+    from laplace_inducing_points_tpu.utils.profiling import trace
+    prof = trace(args.profile) if args.profile else contextlib.nullcontext()
+    with prof:
+        Z = train_inducing_points(
+            state, z_init, optax.adam(ip_cfg["lr"]),
+            cycling_batches(ip_loader), alpha=alpha_ip,
+            num_steps=ip_cfg["epochs"], full_set_size=full_set_size,
+            objective=objective,
+            rng=jax.random.PRNGKey(ip_cfg["seed"] % (2**31)),
+            st_samples=ip_cfg["st_samples"], slq_samples=ip_cfg["slq_samples"],
+            slq_num_matvecs=ip_cfg["slq_num_matvecs"],
+            example_block=ip_cfg.get("example_block"),
+            cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
+            precond_rank=ip_cfg["precond_rank"], callback=callback)
+    if args.profile:
+        print(f"[profile] device trace written to {args.profile}")
     if args.train_log and train_log_rows:
         import json
 

@@ -47,10 +47,16 @@ def test_train_scale_then_evaluate_roundtrip(micro_scale_config, tmp_path,
         "--ckpt_map", str(tmp_path / "ckpt_map"),
         "--ckpt_induc", str(tmp_path / "ckpt_ind"),
         "--data_dir", str(tmp_path / "data"),
+        "--profile", str(tmp_path / "trace_train"),
     ])
     out = capsys.readouterr().out
     assert "[DONE] MAP training." in out
     assert "[DONE] Inducing training" in out
+    # --profile must leave a TensorBoard-loadable trace of the inducing phase
+    assert "[profile] device trace written" in out
+    trace_files = [f for _, _, fs in os.walk(tmp_path / "trace_train")
+                   for f in fs]
+    assert any(f.endswith(".xplane.pb") for f in trace_files), trace_files
 
     # the run meta must record the alpha the Z was trained for
     meta_path = tmp_path / "ckpt_ind" / "ind_mnist_meta.json"
@@ -66,8 +72,12 @@ def test_train_scale_then_evaluate_roundtrip(micro_scale_config, tmp_path,
         "--ckpt_induc", str(tmp_path / "ckpt_ind"),
         "--data_dir", str(tmp_path / "data"),
         "--out_json", str(tmp_path / "eval.jsonl"),
+        "--profile", str(tmp_path / "trace_eval"),
     ])
     out = capsys.readouterr().out
+    trace_files = [f for _, _, fs in os.walk(tmp_path / "trace_eval")
+                   for f in fs]
+    assert any(f.endswith(".xplane.pb") for f in trace_files), trace_files
     assert "alpha=25.0 (pipeline meta)" in out
     assert "predictive method: cov" in out
     rec = json.loads((tmp_path / "eval.jsonl").read_text().splitlines()[0])

@@ -118,8 +118,13 @@ def build_parser():
                    help="append per-repetition metrics as JSON lines")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a TensorBoard-loadable jax.profiler device "
-                        "trace of the LAST evaluation repetition (warm, "
-                        "post-compile) into DIR (utils.profiling.trace)")
+                        "trace of the LAST evaluation repetition into DIR "
+                        "(utils.profiling.trace). With --iters >= 2 the "
+                        "traced repetition is warm (compiles and the "
+                        "amortized factor build happened in earlier reps); "
+                        "with --iters 1 the trace INCLUDES one-time JIT "
+                        "compilation and the posterior factor build — not "
+                        "steady state (a warning is printed)")
     p.add_argument("--data_dir", default="data/")
     return p
 
@@ -225,6 +230,11 @@ def main(argv=None):
                               else predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")
 
+    # method tag for the out_json rows: rows from different predictive
+    # paths routinely land in one JSONL (e.g. the weight-vs-matfree
+    # cross-check), so each row must say which path produced it
+    method_tag = predictive if args.scalable else "dense"
+
     if args.max_batches:
         class _Limited:
             """First-N-batches view; a stable object so the cov predictor's
@@ -241,13 +251,20 @@ def main(argv=None):
 
     from laplace_inducing_points_tpu.utils.profiling import trace
 
+    if args.profile and args.iters == 1:
+        print("[profile] WARNING: --iters 1 means the traced repetition is "
+              "COLD — the trace includes JIT compilation and the one-time "
+              "posterior factor build, not steady-state execution. Use "
+              "--iters >= 2 for a warm trace.")
+
     rng = jax.random.PRNGKey(155858)
     for i in range(args.iters):
         rng = jax.random.fold_in(rng, i)
         t0 = time.time()
-        # trace only the last repetition: it is warm (compiles and the
-        # amortized factor build are behind it), so the trace shows the
-        # steady-state device execution, not one-time work
+        # trace only the last repetition: with iters >= 2 it is warm
+        # (compiles and the amortized factor build are behind it) so the
+        # trace shows steady-state device execution; with iters == 1 the
+        # only repetition is cold and the warning above applies
         prof = (trace(args.profile)
                 if args.profile and i == args.iters - 1
                 else contextlib.nullcontext())
@@ -265,6 +282,8 @@ def main(argv=None):
                   f"\nECE (15bin): {rec['ece']:8.5f}"
                   f"\nTime       : {dt:6.1f} s")
             record = {"dataset": args.dataset, "alpha": alpha, "iter": i,
+                      "predictive": method_tag,
+                      "mc": ip_cfg["mc_samples"],
                       "nll": round(rec["nll"], 5), "acc": round(rec["acc"], 5),
                       "brier": round(rec["brier"], 5),
                       "ece": round(rec["ece"], 5),
@@ -275,6 +294,8 @@ def main(argv=None):
                   f"\nPICP (90%) : {rec['picp90'] * 100:8.3f} %"
                   f"\nTime       : {dt:6.1f} s")
             record = {"dataset": args.dataset, "alpha": alpha, "iter": i,
+                      "predictive": method_tag,
+                      "mc": ip_cfg["mc_samples"],
                       "nll": round(rec["nll"], 5),
                       "rmse": round(rec["rmse"], 5),
                       "picp90": round(rec["picp90"], 5),

@@ -67,7 +67,9 @@ def build_parser():
                    help="capture a TensorBoard-loadable jax.profiler device "
                         "trace of the inducing-training phase into DIR "
                         "(utils.profiling.trace). Traces grow with step "
-                        "count — use a short run when profiling")
+                        "count — use a short run when profiling. Only the "
+                        "inducing phase is traced: with mode=train_map "
+                        "(which has no inducing phase) the flag is an error")
     p.add_argument("--range_clip", type=float, default=1.0,
                    help="clip min for (alpha + beta*lam) inside the "
                         "posterior inverse sqrt during the alpha grid "
@@ -84,6 +86,13 @@ def main(argv=None):
     from laplace_inducing_points_tpu.utils import acquire_tpu_lock
     acquire_tpu_lock()   # serialize with the driver bench window
     args = build_parser().parse_args(argv)
+    if args.profile and args.mode == "train_map":
+        # --profile traces the inducing phase only; in train_map mode main()
+        # returns before it, so the flag would silently produce no trace
+        raise SystemExit(
+            "--profile traces the inducing-training phase, which "
+            "mode=train_map never reaches — run mode=train_inducing or "
+            "full_pipeline to profile, or drop the flag")
     cfg = load_experiment_config(args.config)
     model_cfg = cfg["model"]
     opt_cfg = cfg["optimization"]

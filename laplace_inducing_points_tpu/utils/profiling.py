@@ -21,13 +21,28 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str = "/tmp/lipt_trace"):
-    """Capture a device trace: ``with trace("/tmp/t"): step()``."""
+def trace(log_dir: str = "/tmp/lipt_trace", sync: bool = True):
+    """Capture a device trace: ``with trace("/tmp/t"): step()``.
+
+    ``sync=True`` (default) inserts a device barrier — a trivial
+    ``block_until_ready`` on a fresh computation — before ``stop_trace()``,
+    so async-dispatched work launched inside the region is on the trace
+    even when the caller never host-syncs its outputs (typical on TPU,
+    where un-synced dispatch would otherwise be silently truncated from
+    the trace). Pass ``sync=False`` only when the traced region is known
+    to end host-synced and the extra tiny dispatch would pollute the tail
+    of the timeline.
+    """
+    import jax.numpy as jnp
     os.makedirs(log_dir, exist_ok=True)
     jax.profiler.start_trace(log_dir)
     try:
         yield log_dir
     finally:
+        if sync:
+            # barrier: all previously dispatched work must complete before
+            # this result is ready (single-stream device execution order)
+            jax.block_until_ready(jnp.zeros(()) + 0.0)
         jax.profiler.stop_trace()
 
 

@@ -229,10 +229,15 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
                 gram_mm, d_z, precond_rank, alpha / beta,
                 jax.random.fold_in(key, 0x4E59))
 
+        # None-guard (not ``or``): cg_maxiter may ride as a TRACED argument
+        # — e.g. the gradient-contract sweep jits it dynamically so one
+        # compiled graph serves every iteration budget — and ``or`` would
+        # call __bool__ on the tracer
+        maxiter = (10 * d_z) if cg_maxiter is None else cg_maxiter
+
         def c_solve(u):
             x, _ = jax.scipy.sparse.linalg.cg(
-                c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d_z,
-                M=precond)
+                c_matvec, u, tol=cg_tol, maxiter=maxiter, M=precond)
             return x
 
     def sz_inv_vp(v):
@@ -280,13 +285,16 @@ OBJECTIVES = {
 # matfree CG convergence visibility
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "cg_maxiter",
-                                   "precond_rank"))
+@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "precond_rank"))
 def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
                       cg_tol: float, cg_maxiter, precond_rank):
     """Worst relative residual of the ``stochastic_matfree`` inner CG on
     ``n_probes`` random right-hand sides (same operator, preconditioner
-    construction, and budget as the objective's ``c_solve``)."""
+    construction, and budget as the objective's ``c_solve``).
+
+    ``cg_maxiter`` is a DYNAMIC argument (None or int): a maxiter sweep —
+    the healthcheck's natural diagnostic use — reuses one compiled graph
+    per ``(n_probes, cg_tol, precond_rank)``."""
     wz = ops.make_w_factor(state, Z, full_set_size=None)
     Mk, Kk = wz.inner_shape
     d_z = Mk * Kk
@@ -310,10 +318,10 @@ def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
             gram_mm, d_z, precond_rank, rho,
             jax.random.fold_in(key, 0x4E59))
 
+    maxiter = (10 * d_z) if cg_maxiter is None else cg_maxiter
     b = jax.random.normal(key, (n_probes, d_z))
     solve = lambda u: jax.scipy.sparse.linalg.cg(
-        c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d_z,
-        M=precond)[0]
+        c_matvec, u, tol=cg_tol, maxiter=maxiter, M=precond)[0]
     X = jax.vmap(solve)(b)
     num = jnp.linalg.norm(jax.vmap(c_matvec)(X) - b, axis=-1)
     den = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-30)

@@ -159,12 +159,16 @@ def main():
     mat_vg = jax.jit(lambda z, x, st, a, k:
                      jax.value_and_grad(mat_obj)(z, x, st, a, k))
 
-    def make_mf_vg(rank, maxiter):
-        f = partial(kl_objective_stochastic, materialize_w=False,
-                    cg_tol=args.cg_tol, cg_maxiter=maxiter,
-                    precond_rank=rank or None, **obj_kw)
-        return jax.jit(lambda z, x, st, a, k: jax.value_and_grad(f)(
-            z, x, st, a, k))
+    def make_mf_vg(rank):
+        """One compiled graph per rank: alpha, key AND cg_maxiter ride as
+        dynamic args (the maxiter sweep reuses the compile — inducing.py's
+        None-guard keeps the traced int out of any __bool__)."""
+        def f(z, x, st, a, k, mi):
+            return kl_objective_stochastic(
+                z, x, st, a, k, materialize_w=False, cg_tol=args.cg_tol,
+                cg_maxiter=mi, precond_rank=rank or None, **obj_kw)
+        return jax.jit(lambda z, x, st, a, k, mi:
+                       jax.value_and_grad(f)(z, x, st, a, k, mi))
 
     def gstats(g_ref, g):
         diff = float(jnp.linalg.norm((g - g_ref).ravel()))
@@ -217,9 +221,13 @@ def main():
         combos = ([(r, args.base_maxiter) for r in args.ranks]
                   + [(args.base_rank, mi) for mi in args.maxiters
                      if mi != args.base_maxiter])
+        vg_by_rank = {}
         for rank, maxiter in combos:
-            vg = make_mf_vg(rank, maxiter)
-            t, (v, g) = timed(vg, Z, X, state, args.alpha, keys[0])
+            if rank not in vg_by_rank:
+                vg_by_rank[rank] = make_mf_vg(rank)
+            vg = vg_by_rank[rank]
+            t, (v, g) = timed(vg, Z, X, state, args.alpha, keys[0],
+                              jnp.int32(maxiter))
             rel, cos = gstats(g_ref, g)
             hc = matfree_cg_healthcheck(
                 state, Z, args.alpha, full_set_size=args.full_set,
@@ -239,10 +247,11 @@ def main():
 
         # usable-alpha envelope at the default (rank, maxiter): alpha is a
         # dynamic jit arg, so this whole sweep reuses two compiled graphs
-        vg = make_mf_vg(args.base_rank, args.base_maxiter)
+        vg = vg_by_rank.get(args.base_rank) or make_mf_vg(args.base_rank)
         for a in args.alphas:
             _, (v_m, g_m) = timed(mat_vg, Z, X, state, a, keys[0])
-            t, (v, g) = timed(vg, Z, X, state, a, keys[0])
+            t, (v, g) = timed(vg, Z, X, state, a, keys[0],
+                              jnp.int32(args.base_maxiter))
             rel, cos = gstats(g_m, g)
             hc = matfree_cg_healthcheck(
                 state, Z, a, full_set_size=args.full_set,

@@ -244,6 +244,9 @@ def main(argv=None):
                 precond_rank=ip_cfg["precond_rank"], warn=False)
             summary["cg_rel_residual_post"] = f"{hc['cg_rel_residual']:.2e}"
             summary["cg_converged_post"] = bool(hc["converged"])
+            summary["kappa_post"] = round(hc["kappa"], 1)
+            summary["kappa_deflated_post"] = round(hc["kappa_deflated"], 1)
+            summary["predicted_iters_post"] = round(hc["predicted_iters"], 1)
         with open(args.train_log, "a") as f:
             f.write(json.dumps(summary) + "\n")
         print(f"[train_log] wrote {len(train_log_rows)} step rows + summary "

@@ -294,7 +294,13 @@ def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
 
     ``cg_maxiter`` is a DYNAMIC argument (None or int): a maxiter sweep —
     the healthcheck's natural diagnostic use — reuses one compiled graph
-    per ``(n_probes, cg_tol, precond_rank)``."""
+    per ``(n_probes, cg_tol, precond_rank)``.
+
+    Returns ``(worst_rel_residual, lam_max, lam_defl)``: the largest Gram
+    eigenvalue (30 power-iteration steps — GGN spectra are front-loaded,
+    so this converges fast) and the smallest GOOD Nyström eigenvalue of
+    the preconditioner sketch (= the top of the spectrum CG still sees
+    after deflation; ``lam_max`` again when preconditioning is off)."""
     wz = ops.make_w_factor(state, Z, full_set_size=None)
     Mk, Kk = wz.inner_shape
     d_z = Mk * Kk
@@ -304,19 +310,30 @@ def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
         gu = wz.t_matvec(wz.matvec(u.reshape(Mk, Kk))).reshape(d_z)
         return gu + rho * u
 
+    v0 = jax.random.normal(jax.random.fold_in(key, 0x9E37), (d_z,))
+    v = jax.lax.fori_loop(
+        0, 30,
+        lambda _, v: (lambda w: w / jnp.maximum(jnp.linalg.norm(w), 1e-30))(
+            c_matvec(v)),
+        v0 / jnp.linalg.norm(v0))
+    lam_max = jnp.maximum(jnp.vdot(v, c_matvec(v)) - rho, 0.0)
+
     precond = None
+    lam_defl = lam_max
     if precond_rank:
         from laplace_inducing_points_tpu.ops.nystrom import (
-            nystrom_preconditioner, sketch_probe_block)
+            nystrom_sketch, precond_from_sketch, sketch_probe_block)
 
         blk = sketch_probe_block(Mk, precond_rank)
 
         def gram_mm(V):
             return wz.gram_matmat(V, block=blk)
 
-        precond = nystrom_preconditioner(
-            gram_mm, d_z, precond_rank, rho,
-            jax.random.fold_in(key, 0x4E59))
+        U, lam, good = nystrom_sketch(gram_mm, d_z, precond_rank,
+                                      jax.random.fold_in(key, 0x4E59))
+        precond = precond_from_sketch(U, lam, good, rho)
+        lam_defl = jnp.min(jnp.where(good, lam, jnp.inf))
+        lam_defl = jnp.where(jnp.isfinite(lam_defl), lam_defl, lam_max)
 
     maxiter = (10 * d_z) if cg_maxiter is None else cg_maxiter
     b = jax.random.normal(key, (n_probes, d_z))
@@ -325,7 +342,7 @@ def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
     X = jax.vmap(solve)(b)
     num = jnp.linalg.norm(jax.vmap(c_matvec)(X) - b, axis=-1)
     den = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-30)
-    return jnp.max(num / den)
+    return jnp.max(num / den), lam_max, lam_defl
 
 
 def matfree_cg_healthcheck(state, Z, alpha, *,
@@ -346,13 +363,33 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
     exact same operator/preconditioner/budget and reports the worst
     relative residual; residual ≫ tol ⇒ the exits were maxiter exits.
     Called automatically before matfree training; also useful ad hoc.
+
+    Besides the measured residual, the probe reports the CONDITIONING that
+    explains it: ``lam_max`` (power-iterated top Gram eigenvalue), the raw
+    ``kappa`` ≈ (λ_max+ρ)/ρ with ρ = α/β, the post-deflation
+    ``kappa_deflated`` ≈ (λ̂_k+ρ)/ρ from the Nyström sketch's smallest
+    kept eigenvalue (capped below by the preconditioner's deflation
+    floor), and ``predicted_iters`` ≈ ½·√κ_defl·ln(2/tol) — the classic
+    CG bound. ``predicted_iters ≫ cg_maxiter`` says the budget cannot
+    converge at this (α, rank) *before* any training step is spent;
+    the usable-α envelope is exactly the set where it doesn't.
     """
     M = Z.shape[0]
     N = full_set_size or M
     key = key if key is not None else jax.random.PRNGKey(0)
-    res = float(_matfree_cg_probe(state, Z, float(alpha), N / M, key,
-                                  n_probes, cg_tol, cg_maxiter,
-                                  precond_rank))
+    res, lam_max, lam_defl = (
+        float(x) for x in _matfree_cg_probe(state, Z, float(alpha), N / M,
+                                            key, n_probes, cg_tol,
+                                            cg_maxiter, precond_rank))
+    rho = float(alpha) / (N / M)
+    kappa = (lam_max + rho) / rho
+    # the preconditioner caps per-direction deflation at deflation_floor
+    # (ops/nystrom.py), so the spectrum CG sees never shrinks below
+    # lam_max * floor even when the sketch's lam_k does
+    lam_eff = max(lam_defl, 1e-5 * lam_max) if precond_rank else lam_max
+    kappa_defl = (lam_eff + rho) / rho
+    import math
+    predicted_iters = 0.5 * math.sqrt(kappa_defl) * math.log(2.0 / cg_tol)
     # floored at the f32-attainable residual: cg_tol below round-off still
     # counts as converged when the solve bottoms out at ~1e-6
     converged = res <= max(5 * cg_tol, 1e-5)
@@ -361,11 +398,19 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
         warnings.warn(
             f"stochastic_matfree inner CG: relative residual {res:.2e} "
             f"after the full iteration budget (cg_tol={cg_tol:g}) — CG is "
-            f"exiting on maxiter, not tolerance. The KL trace term is "
-            f"biased by O(residual); raise precond_rank (current: "
-            f"{precond_rank}) and/or cg_maxiter.", stacklevel=2)
+            f"exiting on maxiter, not tolerance. Conditioning: "
+            f"lam_max={lam_max:.3g}, kappa={kappa:.3g}, "
+            f"kappa_deflated={kappa_defl:.3g} (rank {precond_rank}); the "
+            f"CG bound needs ~{predicted_iters:.0f} iterations at this "
+            f"kappa vs the {cg_maxiter or 'default'} budgeted. The KL "
+            f"trace term is biased by O(residual); raise precond_rank, "
+            f"raise cg_maxiter, or move alpha_ip up the usable envelope "
+            f"(kappa scales as 1/alpha).", stacklevel=2)
     return {"cg_rel_residual": res, "converged": converged,
-            "cg_tol": cg_tol, "precond_rank": precond_rank}
+            "cg_tol": cg_tol, "precond_rank": precond_rank,
+            "lam_max": lam_max, "kappa": kappa,
+            "kappa_deflated": kappa_defl,
+            "predicted_iters": predicted_iters}
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +662,10 @@ def train_inducing_points(state, z_init: jnp.ndarray,
             print(f"[inducing] matfree CG healthcheck: rel residual "
                   f"{hc['cg_rel_residual']:.2e} "
                   f"({'converged' if hc['converged'] else 'MAXITER STALL'}, "
-                  f"tol={cg_tol:g}, precond_rank={precond_rank})")
+                  f"tol={cg_tol:g}, precond_rank={precond_rank}, "
+                  f"kappa={hc['kappa']:.3g}, "
+                  f"kappa_deflated={hc['kappa_deflated']:.3g}, "
+                  f"~{hc['predicted_iters']:.0f} iters needed)")
     it = iter(batches)
     last_finite_Z = Z           # divergence guard: never return/save NaN Z
     for step in range(num_steps):

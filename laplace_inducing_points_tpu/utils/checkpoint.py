@@ -72,29 +72,47 @@ def load_train_state(state: Any, ckpt_dir: str,
                      step: Optional[int] = None) -> Any:
     """Restore into the template ``state`` (latest step by default).
 
-    If the on-disk optimizer-state tree doesn't match the template's (e.g.
-    trained with a schedule, restored for eval with a plain optimizer), the
-    restore falls back to params/batch_stats/step only — consumers that
-    never train again don't need the optimizer state.
+    The restore target is built from the CHECKPOINT's own metadata, with
+    every leaf placed on the current default device — so a state saved on
+    the TPU restores on CPU (and vice versa) without orbax trying to
+    resurrect the saving platform's sharding ("Device TPU v5 lite0 was not
+    found in jax.local_devices()"). If the on-disk optimizer-state tree
+    doesn't match the template's (e.g. trained with a schedule, restored
+    for eval with a plain optimizer), the restore keeps
+    params/batch_stats/step only — consumers that never train again don't
+    need the optimizer state.
     """
     path = os.path.abspath(ckpt_dir)
-    with ocp.CheckpointManager(path) as mgr:
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def abstract(x):
+        x = np.asarray(x) if not hasattr(x, "dtype") else x
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+    with ocp.CheckpointManager(
+            path, item_handlers=ocp.StandardCheckpointHandler()) as mgr:
         step = step if step is not None else mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {path}")
-        template = {
+        template = jax.tree.map(abstract, {
             "params": state.params,
             "batch_stats": dict(state.batch_stats) if state.batch_stats else {},
             "opt_state": state.opt_state,
             "step": state.step,
-        }
+        })
         try:
             restored = mgr.restore(step,
                                    args=ocp.args.StandardRestore(template))
             opt_state = restored["opt_state"]
         except ValueError:
-            # optimizer trees differ: template-free read, keep model state
-            restored = mgr.restore(step)
+            # optimizer trees differ: restore against the checkpoint's own
+            # metadata (still onto the local device), keep model state only
+            template = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=sharding),
+                mgr.item_metadata(step))
+            restored = mgr.restore(step,
+                                   args=ocp.args.StandardRestore(template))
             opt_state = state.opt_state
             print("[checkpoint] optimizer-state tree mismatch — restored "
                   "params/batch_stats/step only")

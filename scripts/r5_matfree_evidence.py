@@ -104,9 +104,16 @@ def main():
     p.add_argument("--steps_small", type=int, default=50)
     p.add_argument("--steps_noise", type=int, default=60)
     p.add_argument("--lr", type=float, default=0.008)
+    p.add_argument("--skip_part0", action="store_true")
     p.add_argument("--skip_part1", action="store_true")
     p.add_argument("--skip_part2", action="store_true")
     p.add_argument("--skip_part3", action="store_true")
+    p.add_argument("--cond_ranks", type=int, nargs="+",
+                   default=[64, 128, 256, 512, 1024],
+                   help="part 0: precond_rank sweep for the conditioning "
+                        "profile (healthcheck-only, no objective calls)")
+    p.add_argument("--cond_maxiters", type=int, nargs="+",
+                   default=[100, 400])
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -190,6 +197,42 @@ def main():
     keys = [jax.random.PRNGKey(s) for s in (101, 202, 303)]
 
     # ======================================================================
+    # Part 0: conditioning profile of the TRAINED MAP (round-5 discovery:
+    # the trained MAP's Gram has lambda_max ~500x the random init round 4
+    # measured on — rank-64 deflation that sufficed there stalls at
+    # M=4096, healthcheck residual 8.88e+00). Healthcheck-only sweep:
+    # lam_max / kappa / kappa_deflated / predicted_iters / measured
+    # residual per (M, rank, maxiter) — picks the (rank, maxiter) at which
+    # the M=4096 retrain's inner CG actually converges, and doubles as the
+    # usable-envelope contract table (VERDICT r4 task 3).
+    # ======================================================================
+    if not args.skip_part0:
+        for M in (args.m_small, args.m_large):
+            Z = loader_first_batch(M)
+            d_z = M * 10
+            log(f"[evidence] part 0: conditioning profile at M={M}")
+            for rank in args.cond_ranks:
+                if rank >= d_z:
+                    continue
+                for mi in args.cond_maxiters:
+                    t0 = time.time()
+                    hc = matfree_cg_healthcheck(
+                        state, Z, args.alpha, full_set_size=args.full_set,
+                        cg_tol=args.cg_tol, cg_maxiter=mi,
+                        precond_rank=rank, key=jax.random.PRNGKey(11),
+                        warn=False)
+                    record(op="cond_profile", M=M, d_z=d_z,
+                           alpha=args.alpha, precond_rank=rank,
+                           cg_maxiter=mi, cg_tol=args.cg_tol,
+                           lam_max=f"{hc['lam_max']:.4g}",
+                           kappa=round(hc["kappa"], 1),
+                           kappa_deflated=round(hc["kappa_deflated"], 1),
+                           predicted_iters=round(hc["predicted_iters"], 1),
+                           cg_rel_residual=f"{hc['cg_rel_residual']:.2e}",
+                           cg_converged=bool(hc["converged"]),
+                           seconds=round(time.time() - t0, 2))
+
+    # ======================================================================
     # Part 1: gradient-accuracy contract at M=1024 (VERDICT r4 task 3)
     # ======================================================================
     if not args.skip_part1:
@@ -243,6 +286,9 @@ def main():
                    subdominant=bool(rel < np.mean(noise_rel)),
                    cg_rel_residual=f"{hc['cg_rel_residual']:.2e}",
                    cg_converged=bool(hc["converged"]),
+                   kappa=round(hc["kappa"], 1),
+                   kappa_deflated=round(hc["kappa_deflated"], 1),
+                   predicted_iters=round(hc["predicted_iters"], 1),
                    seconds=round(t, 2))
 
         # usable-alpha envelope at the default (rank, maxiter): alpha is a
@@ -265,6 +311,9 @@ def main():
                    grad_rel_l2=round(rel, 4), grad_cosine=round(cos, 6),
                    cg_rel_residual=f"{hc['cg_rel_residual']:.2e}",
                    cg_converged=bool(hc["converged"]),
+                   kappa=round(hc["kappa"], 1),
+                   kappa_deflated=round(hc["kappa_deflated"], 1),
+                   predicted_iters=round(hc["predicted_iters"], 1),
                    seconds=round(t, 2))
 
     # ======================================================================

@@ -183,6 +183,45 @@ def test_matfree_cg_healthcheck_warns_on_stall():
     assert hc2["converged"], hc2
 
 
+def test_matfree_cg_healthcheck_reports_conditioning():
+    """Round-5 contract (VERDICT r4 task 3): the healthcheck must report
+    the conditioning BEFORE training — lam_max (dense-twin-checked against
+    an eigh of the materialized Gram), kappa=(λ_max+ρ)/ρ, the
+    post-deflation kappa, and the CG-bound iteration estimate — so a
+    doomed (alpha, rank, maxiter) triple is visible before any step is
+    spent."""
+    import numpy as np
+    from fixtures import classifier_state
+    from laplace_inducing_points_tpu.core import operators as ops
+    from laplace_inducing_points_tpu.ops.pallas.syrk import syrk
+    from laplace_inducing_points_tpu.training.inducing import (
+        matfree_cg_healthcheck)
+
+    _, state, (x, _) = classifier_state()
+    Z = x[:6]
+    alpha, N = 0.3, 17.0
+    rho = alpha / (N / Z.shape[0])
+
+    hc = matfree_cg_healthcheck(state, Z, alpha, full_set_size=17,
+                                cg_tol=1e-5, precond_rank=4, warn=False)
+    for k in ("lam_max", "kappa", "kappa_deflated", "predicted_iters"):
+        assert k in hc and np.isfinite(hc[k]), (k, hc)
+
+    # dense twin: lam_max from the power iteration vs eigh of the Gram
+    Gzz = syrk(ops.dense_wt(state, Z))
+    lam_dense = float(np.linalg.eigvalsh(np.asarray(Gzz))[-1])
+    assert abs(hc["lam_max"] - lam_dense) <= 0.05 * lam_dense, \
+        (hc["lam_max"], lam_dense)
+    assert abs(hc["kappa"] - (lam_dense + rho) / rho) / hc["kappa"] < 0.06
+    # deflation can only help: kappa_deflated <= kappa (up to the floor)
+    assert hc["kappa_deflated"] <= hc["kappa"] * (1 + 1e-6)
+    # rank >= d_z deflates everything: kappa_deflated collapses toward 1
+    hc_full = matfree_cg_healthcheck(state, Z, alpha, full_set_size=17,
+                                     cg_tol=1e-5, precond_rank=64,
+                                     warn=False)
+    assert hc_full["kappa_deflated"] <= hc["kappa_deflated"] * (1 + 1e-6)
+
+
 def test_restart_training_selects_best_full_set_kl():
     """k-restart Z training (round 4, VERDICT r3 item 5): the returned Z
     must be the restart with the LOWEST exact full-set KL, and the reported

@@ -95,6 +95,22 @@ def build_parser():
                    help="also render the LA-vs-LLA 1x3 predictive-mean "
                         "figure and the 2x1 IP-LLA mean/std figure "
                         "(reference nplot.py:255-394)")
+    p.add_argument("--map_restarts", type=int, default=None,
+                   help="train k independent MAP fits (fresh model init + "
+                        "fresh loader order) and keep the one with the "
+                        "lowest validation NLL. The round-5 MAP-axis study "
+                        "(scripts/banana_map_study.py, RESULTS.md 'Banana "
+                        "round 5') measured the val-NLL selector to be "
+                        "informative only with a mildly strengthened MAP "
+                        "prior — pair with --map_alpha_factor 2. Default: "
+                        "config optimization.map.restarts, else 1.")
+    p.add_argument("--map_alpha_factor", type=float, default=None,
+                   help="multiply the MAP L2 prior by this factor (the "
+                        "inducing/eval alpha is untouched). 2 = the 'reg2' "
+                        "variant of the round-5 MAP-axis study: bootstrap "
+                        "mean OOD AUROC 84.0 with 4 MAP restarts vs 82.1 "
+                        "base. Default: config optimization.map."
+                        "alpha_factor, else 1 (parity with the reference).")
     p.add_argument("--ckpt_map", default="checkpoint/map/")
     p.add_argument("--ckpt_induc", default="checkpoint/ind/")
     p.add_argument("--fig_dir", default="fig/")
@@ -150,9 +166,63 @@ def main(argv=None):
     map_dir = os.path.join(args.ckpt_map, f"map_{ds_name}")
 
     # ---- PART A: MAP -------------------------------------------------------
+    map_restarts = (args.map_restarts if args.map_restarts is not None
+                    else int(map_cfg.get("restarts", 1)))
+    map_alpha_factor = (args.map_alpha_factor
+                        if args.map_alpha_factor is not None
+                        else float(map_cfg.get("alpha_factor", 1.0)))
+    map_alpha = alpha * map_alpha_factor
     if args.mode in ("train_map", "full_pipeline"):
-        state = train_map(state, train_loader, test_loader,
-                          num_epochs=map_cfg["epochs"], alpha=alpha)
+        if map_restarts > 1:
+            # k-restart MAP selected by validation NLL (round-5 MAP-axis
+            # study; the selector is only informative with a strengthened
+            # MAP prior — see --map_alpha_factor). Candidate 0 is the
+            # default pipeline's exact draw (same init key, same loader).
+            from laplace_inducing_points_tpu.training.map import (
+                eval_classification, eval_regression)
+            eval_step = (eval_regression if model_kind == "regressor"
+                         else eval_classification)
+
+            def val_nll(st):
+                tot, nb = 0.0, 0
+                for xb, yb in val_loader:
+                    tot += float(eval_step(st, (jnp.asarray(xb),
+                                                jnp.asarray(yb)))[0])
+                    nb += 1
+                return tot / max(nb, 1)
+
+            best, best_nll, cand_nlls = None, None, []
+            for i in range(map_restarts):
+                if i == 0:
+                    cand, ld = state, train_loader
+                else:
+                    cand = create_train_state(
+                        model,
+                        jax.random.PRNGKey(
+                            (model_cfg.get("seed", 0) + i * 104729)
+                            % (2 ** 31)),
+                        jnp.asarray(tr[0][:1]), optax.adam(map_cfg["lr"]),
+                        model_kind=model_kind)
+                    ld, _, _ = make_dataloaders(
+                        ArrayDataset(*tr), ArrayDataset(*te),
+                        ArrayDataset(*va),
+                        batch_size=map_cfg["batch_size"],
+                        seed=(map_cfg["seed"] + i * 7919) % (2 ** 31))
+                cand = train_map(cand, ld, test_loader,
+                                 num_epochs=map_cfg["epochs"],
+                                 alpha=map_alpha)
+                nll_i = val_nll(cand)
+                cand_nlls.append(round(nll_i, 5))
+                if best_nll is None or nll_i < best_nll:
+                    best, best_nll = cand, nll_i
+            state = best
+            print(f"[map] {map_restarts} restarts (alpha_factor="
+                  f"{map_alpha_factor}) val NLLs {cand_nlls} -> "
+                  f"kept {best_nll:.5f}")
+        else:
+            state = train_map(state, train_loader, test_loader,
+                              num_epochs=map_cfg["epochs"],
+                              alpha=map_alpha)
         save_train_state(state, map_dir, step=map_cfg["epochs"])
         if model_kind == "classifier":
             nplot.plot_map_2d_classification(

@@ -116,6 +116,11 @@ def main() -> None:
     p.add_argument("--n_map_seeds", type=int, default=8)
     p.add_argument("--n_z_seeds", type=int, default=2)
     p.add_argument("--long_factor", type=int, default=3)
+    p.add_argument("--variants", type=str, nargs="+",
+                   default=["base:1:1", "long:LF:1"],
+                   help="MAP variants as name:epoch_factor:alpha_factor "
+                        "(epoch_factor 'LF' = --long_factor); e.g. "
+                        "reg100:1:100 trains MAP at 100x the config L2.")
     p.add_argument("--config", default="configs/toy/classifier_banana.yml")
     p.add_argument("--ood_radius", type=float, default=1.05)
     p.add_argument("--mc", type=int, default=1000)
@@ -175,11 +180,15 @@ def main() -> None:
     out = open(args.out, "w")
     rows = []
 
+    variants = []
+    for spec in args.variants:
+        name, ef, af = spec.split(":")
+        ef = args.long_factor if ef == "LF" else int(ef)
+        variants.append((name, map_cfg["epochs"] * ef, float(af)))
+
     for i in range(args.n_map_seeds):
         mseed = 500 + 104729 * i
-        for variant, epochs in (("base", map_cfg["epochs"]),
-                                ("long", map_cfg["epochs"]
-                                 * args.long_factor)):
+        for variant, epochs, alpha_factor in variants:
             mtrain_loader, _, _ = make_dataloaders(
                 ArrayDataset(*tr), ArrayDataset(*te), ArrayDataset(*va),
                 batch_size=bs, seed=(mseed + 1) % (2**31))
@@ -189,7 +198,8 @@ def main() -> None:
                 model_kind=model_cfg["type"])
             t0 = time.time()
             state = train_map(state, mtrain_loader, test_loader,
-                              num_epochs=epochs, alpha=alpha,
+                              num_epochs=epochs,
+                              alpha=alpha * alpha_factor,
                               verbose=False)
             t_map = time.time() - t0
             vnll, vacc = val_metrics_map(state, val_loader)
@@ -266,8 +276,9 @@ def main() -> None:
     out.close()
 
     # ---- selector analysis --------------------------------------------
+    variant_names = [v[0] for v in variants]
     print("\n=== MAP-axis analysis (AUROC in %) ===")
-    for variant in ("base", "long"):
+    for variant in variant_names:
         for init_name in ("first_m", "kmeans"):
             sel = [r for r in rows if r["variant"] == variant
                    and r["z_init"] == init_name]
@@ -280,7 +291,7 @@ def main() -> None:
     # MAP selection by val NLL: per (variant, init), pick the MAP seed with
     # the lowest map_val_nll; report the mean-over-z-seeds AUROC of that MAP
     # vs the grand mean and the oracle MAP.
-    for variant in ("base", "long"):
+    for variant in variant_names:
         for init_name in ("first_m", "kmeans"):
             sel = [r for r in rows if r["variant"] == variant
                    and r["z_init"] == init_name]

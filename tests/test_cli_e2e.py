@@ -68,6 +68,26 @@ def test_full_pipeline_cli(micro_config, tmp_path, monkeypatch, capsys):
     assert os.listdir(tmp_path / "fig2")
 
 
+def test_map_restarts_cli(micro_config, tmp_path, monkeypatch, capsys):
+    """--map_restarts trains k MAP candidates and keeps the val-NLL best;
+    --map_alpha_factor strengthens only the MAP prior (round-5 MAP-axis
+    study mechanism, RESULTS.md 'Banana round 5')."""
+    from laplace_inducing_points_tpu.cli import main_toy
+
+    monkeypatch.chdir(tmp_path)
+    main_toy.main([
+        "train_map", "--dataset", "banana", "--config", micro_config,
+        "--map_restarts", "2", "--map_alpha_factor", "2",
+        "--ckpt_map", str(tmp_path / "ckpt_map"),
+        "--fig_dir", str(tmp_path / "fig"),
+        "--data_dir", str(tmp_path / "data"),
+    ])
+    out = capsys.readouterr().out
+    assert "[map] 2 restarts (alpha_factor=2.0) val NLLs" in out
+    assert "[DONE] MAP training." in out
+    assert os.path.exists(tmp_path / "ckpt_map" / "map_banana")
+
+
 def test_make_data_cli(tmp_path, monkeypatch):
     from laplace_inducing_points_tpu.cli import make_data
 

@@ -142,6 +142,34 @@ def precond_from_sketch(U: jnp.ndarray, lam: jnp.ndarray, good: jnp.ndarray,
     return apply
 
 
+def precond_inv_sqrt_from_sketch(U: jnp.ndarray, lam: jnp.ndarray,
+                                 good: jnp.ndarray, rho,
+                                 deflation_floor: float = 1e-5
+                                 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """``apply(v) = P^{-1/2} v`` for the same ``P`` as
+    :func:`precond_from_sketch` (``P⁻¹ = I + U diag(mult−1) Uᵀ`` with
+    ``mult ∈ [floor, 1]`` ⇒ ``P^{-1/2} = I + U diag(√mult − 1) Uᵀ``).
+
+    Exists for MEASURING the preconditioned spectrum: power iteration on
+    the symmetric ``S = P^{-1/2} C P^{-1/2}`` gives the true top of the
+    spectrum CG sees after deflation — the sketch's own ``λ̂_k`` badly
+    underestimates ``λ_{k+1}`` when the spectrum decays slowly (measured:
+    sketch claimed κ_defl=2.8 while CG stalled at residual 1e+1,
+    RESULTS.md round 5), so healthchecks must not trust it.
+    """
+    lam_min = jnp.min(jnp.where(good, lam, jnp.inf))
+    lam_min = jnp.where(jnp.isfinite(lam_min), lam_min, 0.0)
+    mult = jnp.maximum((lam_min + rho) / (lam + rho), deflation_floor)
+    coeff = jnp.where(good, jnp.sqrt(mult) - 1.0, 0.0)
+    coeff = jax.lax.stop_gradient(coeff)
+
+    def apply(v: jnp.ndarray) -> jnp.ndarray:
+        t = pdot(v, U)
+        return v + pdot(t * coeff, U.T)
+
+    return apply
+
+
 def nystrom_preconditioner(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
                            d: int, rank: int, rho,
                            key: jax.Array,

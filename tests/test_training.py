@@ -204,7 +204,8 @@ def test_matfree_cg_healthcheck_reports_conditioning():
 
     hc = matfree_cg_healthcheck(state, Z, alpha, full_set_size=17,
                                 cg_tol=1e-5, precond_rank=4, warn=False)
-    for k in ("lam_max", "kappa", "kappa_deflated", "predicted_iters"):
+    for k in ("lam_max", "kappa", "kappa_deflated", "lam_seen",
+              "kappa_deflated_sketch", "predicted_iters"):
         assert k in hc and np.isfinite(hc[k]), (k, hc)
 
     # dense twin: lam_max from the power iteration vs eigh of the Gram
@@ -215,6 +216,27 @@ def test_matfree_cg_healthcheck_reports_conditioning():
     assert abs(hc["kappa"] - (lam_dense + rho) / rho) / hc["kappa"] < 0.06
     # deflation can only help: kappa_deflated <= kappa (up to the floor)
     assert hc["kappa_deflated"] <= hc["kappa"] * (1 + 1e-6)
+    # the MEASURED deflated spectrum (power iteration on P^{-1/2}CP^{-1/2})
+    # dense twin: lam_seen must match the true top eigenvalue of the
+    # preconditioned operator, NOT the sketch's claim (round-5 contract:
+    # the sketch's lam_k lies under slow spectral decay)
+    from laplace_inducing_points_tpu.ops.nystrom import (
+        nystrom_sketch, precond_inv_sqrt_from_sketch)
+    import jax
+    import jax.numpy as jnp
+    d_z = Gzz.shape[0]
+    wz = ops.make_w_factor(state, Z, full_set_size=None)
+    U, lam, good = nystrom_sketch(
+        lambda V: wz.gram_matmat(V), d_z, 4,
+        jax.random.fold_in(jax.random.PRNGKey(0), 0x4E59))
+    Pis = np.zeros((d_z, d_z))
+    pis = precond_inv_sqrt_from_sketch(U, lam, good, rho)
+    for i in range(d_z):
+        Pis[:, i] = np.asarray(pis(jnp.eye(d_z, dtype=jnp.float32)[i]))
+    S = Pis.T @ (np.asarray(Gzz) + rho * np.eye(d_z)) @ Pis
+    lam_seen_dense = float(np.linalg.eigvalsh(0.5 * (S + S.T))[-1]) - rho
+    assert abs(hc["lam_seen"] - lam_seen_dense) <= \
+        0.08 * max(lam_seen_dense, rho), (hc["lam_seen"], lam_seen_dense)
     # rank >= d_z deflates everything: kappa_deflated collapses toward 1
     hc_full = matfree_cg_healthcheck(state, Z, alpha, full_set_size=17,
                                      cg_tol=1e-5, precond_rank=64,

@@ -99,6 +99,11 @@ def build_parser():
     p.add_argument("--cg_maxiter", type=int, default=None,
                    help="matfree predictive: CG iteration cap (default "
                         "10*d_z)")
+    p.add_argument("--precond_power", type=int, default=None,
+                   help="matfree predictive: Nystrom sketch subspace-"
+                        "iteration passes (default config sampling."
+                        "precond_power, 0); raises sketch accuracy at "
+                        "front-loaded spectra for (1+power)*rank matvecs")
     p.add_argument("--precond_rank", type=int, default=None,
                    help="matfree predictive: Nystrom deflation rank, 0 "
                         "disables (default config sampling.precond_rank, 64)")
@@ -215,6 +220,9 @@ def main(argv=None):
                       else sampling_cfg.get("cg_maxiter"))
         precond_rank = (args.precond_rank if args.precond_rank is not None
                         else sampling_cfg.get("precond_rank", 64)) or None
+        precond_power = (args.precond_power
+                         if args.precond_power is not None
+                         else sampling_cfg.get("precond_power", 0))
         predictor = ScalableLLAPredictor(state, Z,
                                          full_set_size=full_set_size,
                                          example_block=example_block,
@@ -225,7 +233,8 @@ def main(argv=None):
                                          jac_block=jac_block,
                                          cg_tol=cg_tol,
                                          cg_maxiter=cg_maxiter,
-                                         precond_rank=precond_rank)
+                                         precond_rank=precond_rank,
+                                         precond_power=precond_power)
         jax.block_until_ready(predictor.nys if predictive == "matfree"
                               else predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")

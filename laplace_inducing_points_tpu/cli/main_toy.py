@@ -287,6 +287,7 @@ def main(argv=None):
             example_block=ip_cfg.get("example_block"),
             cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
             precond_rank=ip_cfg["precond_rank"],
+            precond_power=ip_cfg["precond_power"],
             callback=cb)
         n_restarts = (args.restarts if args.restarts is not None
                       else ip_cfg.get("restarts", 1))

@@ -216,7 +216,8 @@ def main(argv=None):
             slq_num_matvecs=ip_cfg["slq_num_matvecs"],
             example_block=ip_cfg.get("example_block"),
             cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
-            precond_rank=ip_cfg["precond_rank"], callback=callback)
+            precond_rank=ip_cfg["precond_rank"],
+            precond_power=ip_cfg["precond_power"], callback=callback)
     if args.profile:
         print(f"[profile] device trace written to {args.profile}")
     if args.train_log and train_log_rows:
@@ -234,14 +235,16 @@ def main(argv=None):
                    "loss_min": min(losses), "alpha_ip": float(alpha_ip),
                    "cg_tol": ip_cfg["cg_tol"],
                    "cg_maxiter": ip_cfg["cg_maxiter"],
-                   "precond_rank": ip_cfg["precond_rank"]}
+                   "precond_rank": ip_cfg["precond_rank"],
+                   "precond_power": ip_cfg["precond_power"]}
         if objective == "stochastic_matfree":
             from laplace_inducing_points_tpu.training.inducing import (
                 matfree_cg_healthcheck)
             hc = matfree_cg_healthcheck(
                 state, Z, alpha_ip, full_set_size=full_set_size,
                 cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
-                precond_rank=ip_cfg["precond_rank"], warn=False)
+                precond_rank=ip_cfg["precond_rank"],
+                precond_power=ip_cfg["precond_power"], warn=False)
             summary["cg_rel_residual_post"] = f"{hc['cg_rel_residual']:.2e}"
             summary["cg_converged_post"] = bool(hc["converged"])
             summary["kappa_post"] = round(hc["kappa"], 1)

@@ -107,23 +107,46 @@ class Linearization:
         return self.flat_params.shape[0]
 
 
-def linearize_model(state: Any, Z: jnp.ndarray) -> Linearization:
+def linearize_model(state: Any, Z: jnp.ndarray,
+                    matmul_precision: Optional[str] = None) -> Linearization:
     """Linearize the batched network apply at the state's parameters.
 
     Replaces the reference's per-example ``model_fun``/``fzi`` closures
     (``/root/reference/src/ggn.py:41-52``) with one batched linearization.
+
+    ``matmul_precision``: when set (e.g. ``"highest"``), every matmul/conv
+    bound inside the linearized apply — and therefore inside every jvp/vjp
+    this linearization serves — runs at that precision. Needed wherever a
+    W/GGN matvec is the OPERATOR of an iterative solve: on the TPU MXU the
+    default is bf16 passes (relative error ~4e-3), and a Krylov solve on
+    ``G + ρI`` cannot push its relative residual below ~ε·λ_max/ρ no
+    matter how well preconditioned — at the trained-MAP flagship Gram
+    (λ_max≈2.1e6, ρ≈25) that floor is ≫1, i.e. CG makes NO progress
+    (measured, round 5; see ``training/inducing.py``). Estimator probe
+    sweeps, where error enters linearly and sits far below 1/√P noise,
+    keep the ~6× cheaper default (None).
     """
     flat, unravel = flatten_nn_params(state.params)
     _, aux = split_nn_params(state.params)
     kind = state.model_kind
 
+    if matmul_precision is None:
+        def _prec_ctx():
+            import contextlib
+            return contextlib.nullcontext()
+    else:
+        def _prec_ctx():
+            return jax.default_matmul_precision(matmul_precision)
+
     def f(flat_p: jnp.ndarray) -> jnp.ndarray:
         params = {**unravel(flat_p), **aux}
-        return model_outputs(state, params, Z)
+        with _prec_ctx():
+            return model_outputs(state, params, Z)
 
     def f_single(flat_p: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
         params = {**unravel(flat_p), **aux}
-        return model_outputs(state, params, zi[None])[0]
+        with _prec_ctx():
+            return model_outputs(state, params, zi[None])[0]
 
     f0, jvp_fn = jax.linearize(f, flat)
     _, vjp_raw = jax.vjp(f, flat)
@@ -479,12 +502,16 @@ def ggn_matmat_materialized(state: Any, Z: jnp.ndarray, V: jnp.ndarray,
 
 def make_w_factor(state: Any, Z: jnp.ndarray,
                   full_set_size: Optional[int] = None,
-                  lin: Optional[Linearization] = None) -> WFactor:
+                  lin: Optional[Linearization] = None,
+                  matmul_precision: Optional[str] = None) -> WFactor:
     """Build the ``W`` factor with ``sqrt(N/M)`` recalibration.
 
     Parity: ``compute_W_vps`` (``/root/reference/src/ggn.py:9-13``).
+    ``matmul_precision``: see :func:`linearize_model` — pass ``"highest"``
+    when this factor is the operator of an iterative solve or feeds a
+    prior/correction cancellation.
     """
-    lin = lin or linearize_model(state, Z)
+    lin = lin or linearize_model(state, Z, matmul_precision=matmul_precision)
     M = lin.num_points
     N = full_set_size or M
     return WFactor(lin=lin, scale=math.sqrt(N / M))

@@ -179,14 +179,18 @@ def _jitted_jac_stats(state, x, R, jac_block):
     return ops.predictive_jac_stats(state, x, R, jac_block=jac_block)
 
 
-@partial(jax.jit, static_argnames=("rank",))
-def _jitted_nystrom_sketch(state, Z, beta, rank: int, key):
+@partial(jax.jit, static_argnames=("rank", "power"))
+def _jitted_nystrom_sketch(state, Z, beta, rank: int, key, power: int = 0):
     """Nyström sketch of ``β·Gzz`` for the matfree predictor, amortized per
     ``(state, Z)`` — the ``rank`` Gram matvecs are the expensive part; the
     α-dependent tail is O(rank) inside the per-batch step."""
     from laplace_inducing_points_tpu.ops.nystrom import (
         nystrom_sketch, sketch_probe_block)
-    w = ops.make_w_factor(state, Z, full_set_size=None)
+    # HIGHEST precision: this sketch preconditions the eval CG whose
+    # operator runs at HIGHEST (bf16 matvecs floor the CG residual at
+    # ~ε·λ_max/α — see training/inducing.py's matfree branch).
+    w = ops.make_w_factor(state, Z, full_set_size=None,
+                          matmul_precision="highest")
     M_, K_ = w.inner_shape
     d = M_ * K_
     blk = sketch_probe_block(M_, rank)
@@ -194,7 +198,7 @@ def _jitted_nystrom_sketch(state, Z, beta, rank: int, key):
     def gram_mm(V):
         return beta * w.gram_matmat(V, block=blk)
 
-    return nystrom_sketch(gram_mm, d, rank, key)
+    return nystrom_sketch(gram_mm, d, rank, key, power=power)
 
 
 @partial(jax.jit, static_argnames=("num_samples", "cg_tol", "cg_maxiter",
@@ -221,7 +225,14 @@ def _matfree_logit_samples(state, Z, nys_U, nys_lam, nys_good, alpha, beta,
         _batch_rel_residual)
     from laplace_inducing_points_tpu.ops.nystrom import precond_from_sketch
 
-    wz = ops.make_w_factor(state, Z, full_set_size=None)
+    # HIGHEST-precision factor throughout: (a) the CG operator — bf16
+    # matvecs floor the residual at ~ε·λ_max/α no matter the
+    # preconditioner (round-5 root cause, training/inducing.py); (b) the
+    # Matheron cancellation ``eps − √β·W X`` — a posterior-SAMPLE
+    # contraction, where bf16 error re-enters the draws amplified ~√λ_max
+    # (core.operators.pdot postmortem).
+    wz = ops.make_w_factor(state, Z, full_set_size=None,
+                           matmul_precision="highest")
     M_, K_ = wz.inner_shape
     d = M_ * K_
     D = wz.num_params
@@ -371,7 +382,9 @@ class ScalableLLAPredictor:
                  cg_tol: float = 1e-4,
                  cg_maxiter: Optional[int] = None,
                  precond_rank: Optional[int] = 64,
-                 precond_key: Optional[jax.Array] = None):
+                 precond_power: int = 0,
+                 precond_key: Optional[jax.Array] = None,
+                 eigh_host: Optional[bool] = None):
         M = Z.shape[0]
         if method not in ("weight", "cov", "matfree"):
             raise ValueError(f"unknown predictive method {method!r}")
@@ -417,15 +430,34 @@ class ScalableLLAPredictor:
                     self.state, self.Z, self.beta,
                     min(precond_rank, d_z),
                     precond_key if precond_key is not None
-                    else jax.random.PRNGKey(0x4E59))
+                    else jax.random.PRNGKey(0x4E59),
+                    power=precond_power)
                 if repl is not None:
                     self.nys = jax.device_put(self.nys, repl)
             return
 
         self.R = ops.dense_wt(state, Z, example_block=example_block)
         self.gram = syrk(self.R)
-        self.lam, self.V = jnp.linalg.eigh(
-            ops.ensure_symmetry(self.gram, jitter=0.0))
+        sym = ops.ensure_symmetry(self.gram, jitter=0.0)
+        if eigh_host is None:
+            # XLA:TPU's eigh (QDWH-eig) allocates tens of d_z×d_z HBM
+            # temps inside its polar while-loop; with the (d_z, D) row
+            # factor resident this OOMs a 16 GiB v5e at d_z = 10,240
+            # (measured round 5: M=1024 LeNet5 eval, qdwh triangular_solve
+            # temps of ~330 MiB each). The one-time factor build is not a
+            # hot path, so past that point pull the d_z² Gram to the host
+            # and run LAPACK ssyevd there (f32 throughout — no f64 enters
+            # the computation), then ship the factor back. Device eigh
+            # stays the default everywhere the workspace fits.
+            eigh_host = (sym.shape[0] >= 8192
+                         and jax.default_backend() == "tpu")
+        if eigh_host:
+            import numpy as np
+            lam_h, v_h = np.linalg.eigh(np.asarray(jax.device_get(sym)))
+            self.lam = jnp.asarray(lam_h)
+            self.V = jnp.asarray(v_h)
+        else:
+            self.lam, self.V = jnp.linalg.eigh(sym)
         if repl is not None:
             self.R = jax.device_put(self.R, repl)
             self.gram = jax.device_put(self.gram, repl)

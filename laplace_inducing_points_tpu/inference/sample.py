@@ -159,6 +159,7 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
                           cg_tol: float = 1e-4,
                           cg_maxiter: Optional[int] = None,
                           precond_rank: Optional[int] = 64,
+                          precond_power: int = 0,
                           precond_key: Optional[jax.Array] = None):
     """Exact posterior draws WITHOUT any matrix square root (round 3).
 
@@ -245,7 +246,13 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
 
         return apply, d
 
-    w = ops.make_w_factor(state, Z, full_set_size=None)
+    # HIGHEST-precision factor: the CG operator (bf16 matvecs floor the
+    # residual at ~ε·λ_max/α regardless of preconditioning — round-5 root
+    # cause, training/inducing.py) AND the ``eps − √β·corr`` cancellation
+    # below, a posterior-sample contraction per core.operators.pdot's
+    # postmortem.
+    w = ops.make_w_factor(state, Z, full_set_size=None,
+                          matmul_precision="highest")
     M_, K_ = w.inner_shape
     d = M_ * K_
 
@@ -269,7 +276,7 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
         precond = nystrom_preconditioner(
             gram_mm, d, precond_rank, alpha,
             precond_key if precond_key is not None
-            else jax.random.PRNGKey(0x4E59))
+            else jax.random.PRNGKey(0x4E59), power=precond_power)
 
     def apply(eps: jnp.ndarray, eta: jnp.ndarray, with_info: bool = False):
         U = (sqrt_beta * w.t_matmat(eps).reshape(eps.shape[0], d)

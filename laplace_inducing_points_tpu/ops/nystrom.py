@@ -70,7 +70,7 @@ def sketch_probe_block(n_examples: int, n_probes: int,
 
 
 def nystrom_sketch(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
-                   d: int, rank: int, key: jax.Array):
+                   d: int, rank: int, key: jax.Array, power: int = 0):
     """The ρ-INDEPENDENT part of the preconditioner: ``rank`` sketch
     matvecs → the Nyström eigenpairs ``(U (d, k), lam (k,), good (k,))``.
 
@@ -79,10 +79,23 @@ def nystrom_sketch(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
     e.g. an α grid search or a predictor whose α stays traced — since only
     the O(k) ``coeff`` vector depends on ρ. All outputs are
     ``stop_gradient``-ed (rationale in the module docstring).
+
+    ``power`` adds that many subspace-iteration passes (``Ω ← orth(G Ω)``)
+    before the final sketch — ``(1+power)·rank`` matvecs total. At
+    front-loaded GGN spectra the single-pass sketch's subspace can
+    misalign with the top eigenvectors by an angle θ that leaves
+    ``λ_max·sin²θ`` UNdeflated — at trained-MAP Grams (λ_max ~ 1e6,
+    round 5) even θ ~ 3e-2 leaves the preconditioned operator ~1e3·ρ and
+    CG stalls while the sketch's own eigenvalues claim κ ≈ 3. One power
+    pass squares the eigenvalue ratios driving the alignment; it is the
+    cheap fix whenever the healthcheck's MEASURED ``lam_seen`` is far
+    above the sketch's ``λ̂_k`` (heavy true tails need ``rank`` instead).
     """
     k = min(rank, d)
     Om = jax.random.normal(key, (d, k), dtype=jnp.float32)
     Om, _ = jnp.linalg.qr(Om)                       # (d, k) orthonormal
+    for _ in range(power):
+        Om, _ = jnp.linalg.qr(gram_matmat(Om.T).T)  # subspace iteration
     Y = gram_matmat(Om.T).T                         # (d, k) = G Ω
 
     # stability shift (makes ΩᵀY PD despite f32 round-off / zero modes)
@@ -173,7 +186,8 @@ def precond_inv_sqrt_from_sketch(U: jnp.ndarray, lam: jnp.ndarray,
 def nystrom_preconditioner(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
                            d: int, rank: int, rho,
                            key: jax.Array,
-                           deflation_floor: float = 1e-5
+                           deflation_floor: float = 1e-5,
+                           power: int = 0
                            ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``apply(v) = P⁻¹ v`` for ``C = G + ρI`` from ``rank`` matvecs.
 
@@ -190,5 +204,5 @@ def nystrom_preconditioner(gram_matmat: Callable[[jnp.ndarray], jnp.ndarray],
     ``max(λ̂_max·floor, ρ)/ρ`` instead of 1, still a ~1e5× deflation at
     GGN-like spectra and exactly computable in f32.
     """
-    U, lam, good = nystrom_sketch(gram_matmat, d, rank, key)
+    U, lam, good = nystrom_sketch(gram_matmat, d, rank, key, power=power)
     return precond_from_sketch(U, lam, good, rho, deflation_floor)

@@ -147,7 +147,8 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
                             materialize_w: bool = True,
                             cg_tol: float = 1e-3,
                             cg_maxiter: Optional[int] = None,
-                            precond_rank: Optional[int] = 64
+                            precond_rank: Optional[int] = 64,
+                            precond_power: int = 0
                             ) -> jnp.ndarray:
     """Hutch++ trace + SLQ logdet with shared Rademacher probes.
 
@@ -208,8 +209,21 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
         def c_solve(u):
             return jax.scipy.linalg.cho_solve((L, True), u)
     else:
+        # The CG OPERATOR must run at full f32 matmul precision (round-5
+        # root cause): on the TPU MXU the default bf16 passes give each
+        # Gram matvec a relative error ~4e-3·λ_max, and no preconditioner
+        # can push the CG residual below that floor — at the trained-MAP
+        # flagship Gram (λ_max≈2.1e6, ρ=α/β≈25) the measured residual was
+        # 1.08 at deflated-κ 32 where exact arithmetic predicts 22
+        # iterations; the identical probe at HIGHEST converges (see
+        # RESULTS.md "Matfree inner CG").  The probe SWEEPS stay at the
+        # ~6× cheaper default: their error enters the trace linearly and
+        # sits far below the 1/√P estimator noise.
+        wz_cg = ops.make_w_factor(state, Z, full_set_size=None,
+                                  matmul_precision="highest")
+
         def c_matvec(u):
-            gu = wz.t_matvec(wz.matvec(u.reshape(Mk, Kk))).reshape(d_z)
+            gu = wz_cg.t_matvec(wz_cg.matvec(u.reshape(Mk, Kk))).reshape(d_z)
             return gu + (alpha / beta) * u
 
         precond = None
@@ -220,14 +234,14 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
             blk = sketch_probe_block(Mk, precond_rank)
 
             def gram_mm(V):                       # (k, d_z) -> (k, d_z)
-                return wz.gram_matmat(V, block=blk)
+                return wz_cg.gram_matmat(V, block=blk)
 
             # fold_in keeps the estimator probes' key stream untouched, so
             # precond on/off changes CG convergence only, never the value
             # being estimated.
             precond = nystrom_preconditioner(
                 gram_mm, d_z, precond_rank, alpha / beta,
-                jax.random.fold_in(key, 0x4E59))
+                jax.random.fold_in(key, 0x4E59), power=precond_power)
 
         # None-guard (not ``or``): cg_maxiter may ride as a TRACED argument
         # — e.g. the gradient-contract sweep jits it dynamically so one
@@ -285,9 +299,11 @@ OBJECTIVES = {
 # matfree CG convergence visibility
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "precond_rank"))
+@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "precond_rank",
+                                   "precond_power"))
 def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
-                      cg_tol: float, cg_maxiter, precond_rank):
+                      cg_tol: float, cg_maxiter, precond_rank,
+                      precond_power: int = 0):
     """Worst relative residual of the ``stochastic_matfree`` inner CG on
     ``n_probes`` random right-hand sides (same operator, preconditioner
     construction, and budget as the objective's ``c_solve``).
@@ -301,7 +317,12 @@ def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
     so this converges fast) and the smallest GOOD Nyström eigenvalue of
     the preconditioner sketch (= the top of the spectrum CG still sees
     after deflation; ``lam_max`` again when preconditioning is off)."""
-    wz = ops.make_w_factor(state, Z, full_set_size=None)
+    # HIGHEST-precision factor: the probe must measure the operator the
+    # objective's c_solve actually runs (see kl_objective_stochastic's
+    # matfree branch — default bf16 matvecs floor the CG residual at
+    # ~ε·λ_max/ρ regardless of preconditioning).
+    wz = ops.make_w_factor(state, Z, full_set_size=None,
+                           matmul_precision="highest")
     Mk, Kk = wz.inner_shape
     d_z = Mk * Kk
     rho = alpha / beta
@@ -332,7 +353,8 @@ def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
             return wz.gram_matmat(V, block=blk)
 
         U, lam, good = nystrom_sketch(gram_mm, d_z, precond_rank,
-                                      jax.random.fold_in(key, 0x4E59))
+                                      jax.random.fold_in(key, 0x4E59),
+                                      power=precond_power)
         precond = precond_from_sketch(U, lam, good, rho)
         lam_defl = jnp.min(jnp.where(good, lam, jnp.inf))
         lam_defl = jnp.where(jnp.isfinite(lam_defl), lam_defl, lam_max)
@@ -368,6 +390,7 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
                            cg_tol: float = 1e-3,
                            cg_maxiter: Optional[int] = None,
                            precond_rank: Optional[int] = 64,
+                           precond_power: int = 0,
                            key: Optional[jax.Array] = None,
                            n_probes: int = 4,
                            warn: bool = True) -> dict:
@@ -398,7 +421,8 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
     res, lam_max, lam_defl, lam_seen = (
         float(x) for x in _matfree_cg_probe(state, Z, float(alpha), N / M,
                                             key, n_probes, cg_tol,
-                                            cg_maxiter, precond_rank))
+                                            cg_maxiter, precond_rank,
+                                            precond_power))
     rho = float(alpha) / (N / M)
     kappa = (lam_max + rho) / rho
     # Two deflated-kappa numbers. kappa_deflated_sketch trusts the
@@ -432,6 +456,7 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
             f"usable envelope (kappa scales as 1/alpha).", stacklevel=2)
     return {"cg_rel_residual": res, "converged": converged,
             "cg_tol": cg_tol, "precond_rank": precond_rank,
+            "precond_power": precond_power,
             "lam_max": lam_max, "kappa": kappa,
             "lam_seen": lam_seen,
             "kappa_deflated": kappa_defl,
@@ -553,7 +578,8 @@ def optimize_step_chunked(Z, X, state, alpha, opt_state, key=None, *,
 @partial(jax.jit, static_argnames=("objective", "optimizer", "full_set_size",
                                    "st_samples", "slq_samples",
                                    "slq_num_matvecs", "example_block",
-                                   "cg_tol", "cg_maxiter", "precond_rank"))
+                                   "cg_tol", "cg_maxiter", "precond_rank",
+                                   "precond_power"))
 def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   objective: str = "gram",
                   optimizer: optax.GradientTransformation,
@@ -563,7 +589,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   example_block: Optional[int] = None,
                   cg_tol: float = 1e-3,
                   cg_maxiter: Optional[int] = None,
-                  precond_rank: Optional[int] = 64):
+                  precond_rank: Optional[int] = 64,
+                  precond_power: int = 0):
     """One jitted gradient step on Z (parity: ``optimize_step``,
     ``/root/reference/src/train_inducing.py:199-232``)."""
     kwargs = dict(full_set_size=full_set_size)
@@ -574,7 +601,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
                       slq_num_matvecs=slq_num_matvecs)
     if objective == "stochastic_matfree":
         kwargs.update(cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-                      precond_rank=precond_rank)
+                      precond_rank=precond_rank,
+                      precond_power=precond_power)
     loss, grads = jax.value_and_grad(OBJECTIVES[objective])(
         Z, X, state, alpha, key, **kwargs)
     updates, new_opt_state = optimizer.update(grads, opt_state, Z)
@@ -665,6 +693,7 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                           cg_tol: float = 1e-3,
                           cg_maxiter: Optional[int] = None,
                           precond_rank: Optional[int] = 64,
+                          precond_power: int = 0,
                           callback: Optional[Callable] = None,
                           checkpoint_dir: Optional[str] = None,
                           checkpoint_name: str = "ind",
@@ -683,7 +712,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
         rng, hk = jax.random.split(rng)
         hc = matfree_cg_healthcheck(
             state, Z, alpha, full_set_size=full_set_size, cg_tol=cg_tol,
-            cg_maxiter=cg_maxiter, precond_rank=precond_rank, key=hk)
+            cg_maxiter=cg_maxiter, precond_rank=precond_rank,
+            precond_power=precond_power, key=hk)
         if verbose:
             print(f"[inducing] matfree CG healthcheck: rel residual "
                   f"{hc['cg_rel_residual']:.2e} "
@@ -709,7 +739,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                 full_set_size=full_set_size, st_samples=st_samples,
                 slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
                 example_block=example_block, cg_tol=cg_tol,
-                cg_maxiter=cg_maxiter, precond_rank=precond_rank)
+                cg_maxiter=cg_maxiter, precond_rank=precond_rank,
+                precond_power=precond_power)
         check = step % 10 == 0 or step == num_steps - 1
         if check or callback is not None:
             loss_f = float(loss)

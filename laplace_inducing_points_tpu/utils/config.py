@@ -41,6 +41,7 @@ IP_DEFAULTS = {
     "cg_tol": 1e-3,
     "cg_maxiter": None,
     "precond_rank": 64,         # Nyström deflation rank (ops/nystrom.py)
+    "precond_power": 0,         # sketch subspace-iteration passes
 }
 
 MAP_DEFAULTS = {
@@ -63,6 +64,7 @@ SAMPLING_DEFAULTS = {
     "cg_tol": 1e-4,
     "cg_maxiter": None,
     "precond_rank": 64,
+    "precond_power": 0,         # sketch subspace-iteration passes
 }
 
 

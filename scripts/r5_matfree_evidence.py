@@ -95,8 +95,16 @@ def main():
     p.add_argument("--maxiters", type=int, nargs="+",
                    default=[25, 50, 100, 200, 400],
                    help="cg_maxiter sweep at the default rank (64)")
+    p.add_argument("--powers", type=int, nargs="+", default=[0, 1],
+                   help="sketch subspace-iteration sweep at the base "
+                        "(rank, maxiter) — the round-5 fix for the "
+                        "trained-MAP sketch misalignment")
     p.add_argument("--base_rank", type=int, default=64)
     p.add_argument("--base_maxiter", type=int, default=100)
+    p.add_argument("--base_power", type=int, default=1,
+                   help="precond_power for parts 2/3 training steps and "
+                        "the part-3 judge (round-5 default after the "
+                        "misalignment study)")
     p.add_argument("--alphas", type=float, nargs="+",
                    default=[0.005, 0.05, 0.5, 5.0, 50.0],
                    help="usable-alpha envelope (0.005 = the MAP prior "
@@ -114,6 +122,13 @@ def main():
                         "profile (healthcheck-only, no objective calls)")
     p.add_argument("--cond_maxiters", type=int, nargs="+",
                    default=[100, 400])
+    p.add_argument("--cond_powers", type=int, nargs="+", default=[0, 1])
+    p.add_argument("--cond_sources", nargs="+",
+                   default=["init_small", "init_large", "checkpoint"],
+                   choices=["init_small", "init_large", "checkpoint"],
+                   help="part 0: which (M, Z) profiles to run — each "
+                        "(shape, rank, power) is a fresh remote compile, "
+                        "so trim this on a cold cache")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -166,14 +181,16 @@ def main():
     mat_vg = jax.jit(lambda z, x, st, a, k:
                      jax.value_and_grad(mat_obj)(z, x, st, a, k))
 
-    def make_mf_vg(rank):
-        """One compiled graph per rank: alpha, key AND cg_maxiter ride as
-        dynamic args (the maxiter sweep reuses the compile — inducing.py's
-        None-guard keeps the traced int out of any __bool__)."""
+    def make_mf_vg(rank, power=0):
+        """One compiled graph per (rank, power): alpha, key AND cg_maxiter
+        ride as dynamic args (the maxiter sweep reuses the compile —
+        inducing.py's None-guard keeps the traced int out of any
+        __bool__)."""
         def f(z, x, st, a, k, mi):
             return kl_objective_stochastic(
                 z, x, st, a, k, materialize_w=False, cg_tol=args.cg_tol,
-                cg_maxiter=mi, precond_rank=rank or None, **obj_kw)
+                cg_maxiter=mi, precond_rank=rank or None,
+                precond_power=power, **obj_kw)
         return jax.jit(lambda z, x, st, a, k, mi:
                        jax.value_and_grad(f)(z, x, st, a, k, mi))
 
@@ -207,30 +224,59 @@ def main():
     # usable-envelope contract table (VERDICT r4 task 3).
     # ======================================================================
     if not args.skip_part0:
-        for M in (args.m_small, args.m_large):
-            Z = loader_first_batch(M)
+        def profile(Z, M, source):
             d_z = M * 10
-            log(f"[evidence] part 0: conditioning profile at M={M}")
+            log(f"[evidence] part 0: conditioning profile at M={M} "
+                f"({source})")
             for rank in args.cond_ranks:
                 if rank >= d_z:
                     continue
-                for mi in args.cond_maxiters:
-                    t0 = time.time()
-                    hc = matfree_cg_healthcheck(
-                        state, Z, args.alpha, full_set_size=args.full_set,
-                        cg_tol=args.cg_tol, cg_maxiter=mi,
-                        precond_rank=rank, key=jax.random.PRNGKey(11),
-                        warn=False)
-                    record(op="cond_profile", M=M, d_z=d_z,
-                           alpha=args.alpha, precond_rank=rank,
-                           cg_maxiter=mi, cg_tol=args.cg_tol,
-                           lam_max=f"{hc['lam_max']:.4g}",
-                           kappa=round(hc["kappa"], 1),
-                           kappa_deflated=round(hc["kappa_deflated"], 1),
-                           predicted_iters=round(hc["predicted_iters"], 1),
-                           cg_rel_residual=f"{hc['cg_rel_residual']:.2e}",
-                           cg_converged=bool(hc["converged"]),
-                           seconds=round(time.time() - t0, 2))
+                for power in args.cond_powers:
+                    for mi in args.cond_maxiters:
+                        t0 = time.time()
+                        hc = matfree_cg_healthcheck(
+                            state, Z, args.alpha,
+                            full_set_size=args.full_set,
+                            cg_tol=args.cg_tol, cg_maxiter=mi,
+                            precond_rank=rank, precond_power=power,
+                            key=jax.random.PRNGKey(11), warn=False)
+                        record(op="cond_profile", M=M, d_z=d_z,
+                               source=source,
+                               alpha=args.alpha, precond_rank=rank,
+                               precond_power=power,
+                               cg_maxiter=mi, cg_tol=args.cg_tol,
+                               lam_max=f"{hc['lam_max']:.4g}",
+                               lam_seen=f"{hc['lam_seen']:.4g}",
+                               kappa=round(hc["kappa"], 1),
+                               kappa_deflated=round(hc["kappa_deflated"], 1),
+                               predicted_iters=round(hc["predicted_iters"],
+                                                     1),
+                               cg_rel_residual=f"{hc['cg_rel_residual']:.2e}",
+                               cg_converged=bool(hc["converged"]),
+                               seconds=round(time.time() - t0, 2))
+
+        if "init_small" in args.cond_sources:
+            profile(loader_first_batch(args.m_small), args.m_small, "init")
+        if "init_large" in args.cond_sources:
+            profile(loader_first_batch(args.m_large), args.m_large, "init")
+        # The configuration the M=4096 EVAL actually runs: trained MAP
+        # weights AND the trained inducing set from the CLI checkpoint —
+        # this is where the round-5 eval's Matheron CG hit residual 1.76
+        # at rank 64 / maxiter 200, so the (rank, maxiter) verdict must be
+        # read off THIS profile, not the init one.
+        if "checkpoint" in args.cond_sources:
+            try:
+                Z_ck = load_array(args.ckpt_ind4k, f"ind_{args.dataset}",
+                                  args.ind4k_step)
+                if Z_ck.shape[0] == args.m_large:
+                    profile(jnp.asarray(Z_ck), args.m_large,
+                            "cli_checkpoint")
+                else:
+                    log(f"[evidence] part 0 checkpoint profile SKIPPED: "
+                        f"checkpoint M={Z_ck.shape[0]} != --m_large")
+            except FileNotFoundError:
+                log("[evidence] part 0 checkpoint profile SKIPPED: "
+                    "no M=4096 checkpoint")
 
     # ======================================================================
     # Part 1: gradient-accuracy contract at M=1024 (VERDICT r4 task 3)
@@ -261,24 +307,28 @@ def main():
                seconds=round(mats[0][2], 2))
         v_ref, g_ref = mats[0][0], mats[0][1]
 
-        combos = ([(r, args.base_maxiter) for r in args.ranks]
-                  + [(args.base_rank, mi) for mi in args.maxiters
-                     if mi != args.base_maxiter])
+        combos = ([(r, args.base_maxiter, 0) for r in args.ranks]
+                  + [(args.base_rank, mi, 0) for mi in args.maxiters
+                     if mi != args.base_maxiter]
+                  + [(args.base_rank, args.base_maxiter, pw)
+                     for pw in args.powers if pw != 0])
         vg_by_rank = {}
-        for rank, maxiter in combos:
-            if rank not in vg_by_rank:
-                vg_by_rank[rank] = make_mf_vg(rank)
-            vg = vg_by_rank[rank]
+        for rank, maxiter, power in combos:
+            if (rank, power) not in vg_by_rank:
+                vg_by_rank[(rank, power)] = make_mf_vg(rank, power)
+            vg = vg_by_rank[(rank, power)]
             t, (v, g) = timed(vg, Z, X, state, args.alpha, keys[0],
                               jnp.int32(maxiter))
             rel, cos = gstats(g_ref, g)
             hc = matfree_cg_healthcheck(
                 state, Z, args.alpha, full_set_size=args.full_set,
                 cg_tol=args.cg_tol, cg_maxiter=maxiter,
-                precond_rank=rank or None, key=jax.random.PRNGKey(11),
+                precond_rank=rank or None, precond_power=power,
+                key=jax.random.PRNGKey(11),
                 warn=False)
             record(op="grad_contract", M=M, d_z=d_z, alpha=args.alpha,
                    precond_rank=rank, cg_maxiter=maxiter,
+                   precond_power=power,
                    cg_tol=args.cg_tol,
                    value_rel_err=f"{abs(float(v) - v_ref) / abs(v_ref):.2e}",
                    grad_rel_l2=round(rel, 4), grad_cosine=round(cos, 6),
@@ -291,9 +341,11 @@ def main():
                    predicted_iters=round(hc["predicted_iters"], 1),
                    seconds=round(t, 2))
 
-        # usable-alpha envelope at the default (rank, maxiter): alpha is a
-        # dynamic jit arg, so this whole sweep reuses two compiled graphs
-        vg = vg_by_rank.get(args.base_rank) or make_mf_vg(args.base_rank)
+        # usable-alpha envelope at the round-5 defaults (rank, maxiter,
+        # power): alpha is a dynamic jit arg, so this whole sweep reuses
+        # two compiled graphs
+        vg = (vg_by_rank.get((args.base_rank, args.base_power))
+              or make_mf_vg(args.base_rank, args.base_power))
         for a in args.alphas:
             _, (v_m, g_m) = timed(mat_vg, Z, X, state, a, keys[0])
             t, (v, g) = timed(vg, Z, X, state, a, keys[0],
@@ -302,11 +354,13 @@ def main():
             hc = matfree_cg_healthcheck(
                 state, Z, a, full_set_size=args.full_set,
                 cg_tol=args.cg_tol, cg_maxiter=args.base_maxiter,
-                precond_rank=args.base_rank, key=jax.random.PRNGKey(11),
-                warn=False)
+                precond_rank=args.base_rank,
+                precond_power=args.base_power,
+                key=jax.random.PRNGKey(11), warn=False)
             record(op="alpha_envelope", M=M, d_z=d_z, alpha=a,
                    precond_rank=args.base_rank,
                    cg_maxiter=args.base_maxiter,
+                   precond_power=args.base_power,
                    value_rel_err=f"{abs(float(v) - float(v_m)) / max(abs(float(v_m)), 1e-30):.2e}",
                    grad_rel_l2=round(rel, 4), grad_cosine=round(cos, 6),
                    cg_rel_residual=f"{hc['cg_rel_residual']:.2e}",
@@ -352,7 +406,8 @@ def main():
                     full_set_size=args.full_set, st_samples=args.st,
                     slq_samples=2, slq_num_matvecs=args.slq_matvecs,
                     cg_tol=args.cg_tol, cg_maxiter=args.base_maxiter,
-                    precond_rank=args.base_rank)
+                    precond_rank=args.base_rank,
+                    precond_power=args.base_power)
                 losses.append(float(loss))
                 if (i + 1) % snap_every == 0 or i == n_steps - 1:
                     snaps[i + 1] = Z
@@ -375,6 +430,8 @@ def main():
                       / jnp.linalg.norm((snaps_mat[last] - Z0).ravel()))
         record(op="trajectory_tracking", M=M, d_z=d_z, alpha=args.alpha,
                steps=n_steps, lr=args.lr,
+               precond_rank=args.base_rank, precond_power=args.base_power,
+               cg_maxiter=args.base_maxiter,
                loss_corr=round(corr, 4),
                loss_mat_first_last=[round(losses_mat[0], 2),
                                     round(losses_mat[-1], 2)],
@@ -399,7 +456,8 @@ def main():
                         st_samples=args.judge_st, slq_samples=4,
                         slq_num_matvecs=args.slq_matvecs,
                         materialize_w=False, cg_tol=1e-4,
-                        cg_maxiter=300, precond_rank=args.base_rank)
+                        cg_maxiter=300, precond_rank=args.base_rank,
+                        precond_power=args.base_power)
         judge = jax.jit(lambda z, x, st, a, k: kl_objective_stochastic(
             z, x, st, a, k, **judge_kw))
         X_eval = jnp.asarray(x_all[:args.eval_batch])
@@ -452,7 +510,8 @@ def main():
                 full_set_size=args.full_set, st_samples=args.st,
                 slq_samples=2, slq_num_matvecs=args.slq_matvecs,
                 cg_tol=args.cg_tol, cg_maxiter=args.base_maxiter,
-                precond_rank=args.base_rank)
+                precond_rank=args.base_rank,
+                precond_power=args.base_power)
             losses.append(float(loss))
             if i % 10 == 0:
                 log(f"[evidence]   noise step {i}: loss={losses[-1]:.1f}")
@@ -464,6 +523,8 @@ def main():
                for jk in jkeys]
         record(op="noise_descent", M=M, d_z=d_z, alpha=args.alpha,
                steps=len(losses), lr=args.lr, judge_st=args.judge_st,
+               precond_rank=args.base_rank, precond_power=args.base_power,
+               cg_maxiter=args.base_maxiter,
                kl_init=[round(v, 2) for v in kl0],
                kl_final=[round(v, 2) for v in kl1],
                kl_delta=[round(b - a, 2) for a, b in zip(kl0, kl1)],

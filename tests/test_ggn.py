@@ -176,3 +176,28 @@ def test_ggn_matmat_materialized_matches_matrix_free():
     R = ops.dense_wt(state, Z)
     got2 = ops.ggn_matmat_materialized(state, Z, V, full_set_size=40, R=R)
     assert jnp.allclose(got2, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_w_factor_matmul_precision_binds_highest():
+    """``make_w_factor(matmul_precision="highest")`` must bind HIGHEST into
+    every dot/conv of the linearized apply — this is the operator contract
+    the matfree inner CG relies on (round-5 root cause: at the TPU MXU's
+    default bf16 passes the CG residual floors at ~ε·λ_max/ρ and the solve
+    makes no progress regardless of preconditioning)."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:6]
+    v = jnp.ones((6, state.apply_fn({"params": state.params}, Z,
+                                    train=False).shape[-1]))
+
+    w_hi = ops.make_w_factor(state, Z, matmul_precision="highest")
+    jaxpr_hi = str(jax.make_jaxpr(lambda u: w_hi.matvec(u))(v))
+    assert "HIGHEST" in jaxpr_hi
+
+    w_def = ops.make_w_factor(state, Z)
+    jaxpr_def = str(jax.make_jaxpr(lambda u: w_def.matvec(u))(v))
+    assert "HIGHEST" not in jaxpr_def
+
+    # value parity: precision changes rounding only (exact on CPU f32)
+    hi = w_hi.t_matvec(w_hi.matvec(v))
+    de = w_def.t_matvec(w_def.matvec(v))
+    assert jnp.allclose(hi, de, rtol=1e-5, atol=1e-6)

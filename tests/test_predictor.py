@@ -326,3 +326,23 @@ def test_matfree_predictor_warns_on_cg_stall():
     with pytest.warns(UserWarning, match="maxiter"):
         pred.logit_samples(jnp.asarray(x[:4], jnp.float32), 0.3,
                            jax.random.PRNGKey(2), 4)
+
+
+def test_eigh_host_factor_matches_device_eigh():
+    """Round-5: the host-LAPACK eigh fallback (v5e HBM escape hatch for
+    d_z >= 8192 weight/cov factor builds) must produce the same posterior
+    factor as the on-device eigh — same eigenvalues, same draws through
+    the amortized sampler under a shared key."""
+    _, state, (x, y) = classifier_state()
+    Z = x[:6]
+    key = jax.random.PRNGKey(7)
+
+    dev = ScalableLLAPredictor(state, Z, full_set_size=32, eigh_host=False)
+    host = ScalableLLAPredictor(state, Z, full_set_size=32, eigh_host=True)
+    np.testing.assert_allclose(np.asarray(host.lam), np.asarray(dev.lam),
+                               rtol=1e-5, atol=1e-6)
+    # V has per-column sign/rotation freedom; compare through the draws
+    got = host.logit_samples(x[:8], 0.3, key, 32)
+    want = dev.logit_samples(x[:8], 0.3, key, 32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)

@@ -148,7 +148,8 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
                             cg_tol: float = 1e-3,
                             cg_maxiter: Optional[int] = None,
                             precond_rank: Optional[int] = 64,
-                            precond_power: int = 0
+                            precond_power: int = 0,
+                            precond_sketch=None
                             ) -> jnp.ndarray:
     """Hutch++ trace + SLQ logdet with shared Rademacher probes.
 
@@ -227,7 +228,21 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
             return gu + (alpha / beta) * u
 
         precond = None
-        if precond_rank:
+        if precond_rank and precond_sketch is not None:
+            # STAGED sketch (round 5): the caller built (U, lam, good) in
+            # its own jit (``_probe_sketch`` — same fold_in constant, same
+            # probe block, same HIGHEST factor) and passes it as device
+            # arrays. Keeps the value_and_grad graph down to the CG
+            # operator's factor instantiations: the monolith with the
+            # rank-64 sketch inside SIGKILLed the remote compile helper at
+            # HIGHEST precision (M=1024, measured round 5). Semantically
+            # identical — the sketch is stop_gradient'd either way and
+            # only steers CG's trajectory, never its fixed point.
+            from laplace_inducing_points_tpu.ops.nystrom import (
+                precond_from_sketch)
+            U_s, lam_s, good_s = precond_sketch
+            precond = precond_from_sketch(U_s, lam_s, good_s, alpha / beta)
+        elif precond_rank:
             from laplace_inducing_points_tpu.ops.nystrom import (
                 nystrom_preconditioner, sketch_probe_block)
 
@@ -299,90 +314,107 @@ OBJECTIVES = {
 # matfree CG convergence visibility
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "precond_rank",
-                                   "precond_power"))
-def _matfree_cg_probe(state, Z, alpha, beta, key, n_probes: int,
-                      cg_tol: float, cg_maxiter, precond_rank,
-                      precond_power: int = 0):
-    """Worst relative residual of the ``stochastic_matfree`` inner CG on
-    ``n_probes`` random right-hand sides (same operator, preconditioner
-    construction, and budget as the objective's ``c_solve``).
+# The probe is STAGED into four small jits rather than one monolith: the
+# HIGHEST-precision operator expands every conv/dot into multi-pass f32
+# emulation on the MXU, and the remote chipless compile helper OOMs
+# (SIGKILL) on a graph holding all five W-factor instantiations at
+# M ≥ 1024 (measured, round 5 — the DEFAULT-precision monolith compiled
+# fine even at M=4096). Each stage holds exactly ONE HIGHEST factor; the
+# sketch rides between stages as device arrays (jit ARGUMENTS, never
+# closure constants — the relay gotcha). The probe measures the operator
+# the objective's ``c_solve`` actually runs (see kl_objective_stochastic's
+# matfree branch — default bf16 matvecs floor the CG residual at
+# ~ε·λ_max/ρ regardless of preconditioning).
 
-    ``cg_maxiter`` is a DYNAMIC argument (None or int): a maxiter sweep —
-    the healthcheck's natural diagnostic use — reuses one compiled graph
-    per ``(n_probes, cg_tol, precond_rank)``.
 
-    Returns ``(worst_rel_residual, lam_max, lam_defl)``: the largest Gram
-    eigenvalue (30 power-iteration steps — GGN spectra are front-loaded,
-    so this converges fast) and the smallest GOOD Nyström eigenvalue of
-    the preconditioner sketch (= the top of the spectrum CG still sees
-    after deflation; ``lam_max`` again when preconditioning is off)."""
-    # HIGHEST-precision factor: the probe must measure the operator the
-    # objective's c_solve actually runs (see kl_objective_stochastic's
-    # matfree branch — default bf16 matvecs floor the CG residual at
-    # ~ε·λ_max/ρ regardless of preconditioning).
+def _probe_factor(state, Z):
     wz = ops.make_w_factor(state, Z, full_set_size=None,
                            matmul_precision="highest")
     Mk, Kk = wz.inner_shape
     d_z = Mk * Kk
-    rho = alpha / beta
 
-    def c_matvec(u):
+    def c_matvec(u, rho):
         gu = wz.t_matvec(wz.matvec(u.reshape(Mk, Kk))).reshape(d_z)
         return gu + rho * u
 
+    return wz, d_z, c_matvec
+
+
+@jax.jit
+def _probe_lam_max(state, Z, rho, key):
+    """Top eigenvalue of C = G + ρI, 30 power-iteration steps (GGN
+    spectra are front-loaded, so this converges fast)."""
+    _, d_z, c_matvec = _probe_factor(state, Z)
     v0 = jax.random.normal(jax.random.fold_in(key, 0x9E37), (d_z,))
     v = jax.lax.fori_loop(
         0, 30,
         lambda _, v: (lambda w: w / jnp.maximum(jnp.linalg.norm(w), 1e-30))(
-            c_matvec(v)),
+            c_matvec(v, rho)),
         v0 / jnp.linalg.norm(v0))
-    lam_max = jnp.maximum(jnp.vdot(v, c_matvec(v)) - rho, 0.0)
+    return jnp.maximum(jnp.vdot(v, c_matvec(v, rho)) - rho, 0.0)
 
-    precond = None
-    lam_defl = lam_max
-    lam_seen = lam_max          # top of the spectrum CG actually sees
-    if precond_rank:
-        from laplace_inducing_points_tpu.ops.nystrom import (
-            nystrom_sketch, precond_from_sketch,
-            precond_inv_sqrt_from_sketch, sketch_probe_block)
 
-        blk = sketch_probe_block(Mk, precond_rank)
+@partial(jax.jit, static_argnames=("rank", "power"))
+def _probe_sketch(state, Z, key, rank: int, power: int):
+    """Nyström sketch of G — the same construction the objective's
+    preconditioner uses (same fold_in constant, same probe block)."""
+    from laplace_inducing_points_tpu.ops.nystrom import (nystrom_sketch,
+                                                         sketch_probe_block)
+    wz, d_z, _ = _probe_factor(state, Z)
+    blk = sketch_probe_block(wz.inner_shape[0], rank)
 
-        def gram_mm(V):
-            return wz.gram_matmat(V, block=blk)
+    def gram_mm(V):
+        return wz.gram_matmat(V, block=blk)
 
-        U, lam, good = nystrom_sketch(gram_mm, d_z, precond_rank,
-                                      jax.random.fold_in(key, 0x4E59),
-                                      power=precond_power)
-        precond = precond_from_sketch(U, lam, good, rho)
-        lam_defl = jnp.min(jnp.where(good, lam, jnp.inf))
-        lam_defl = jnp.where(jnp.isfinite(lam_defl), lam_defl, lam_max)
-        # MEASURE the deflated spectrum: power-iterate the symmetric
-        # S = P^{-1/2} C P^{-1/2}. The sketch's lam_k estimates lam_{k+1}
-        # only under fast spectral decay; at trained-MAP Grams it can be
-        # off by 5 orders of magnitude (sketch claimed kappa_defl=2.8
-        # while CG stalled at residual 1e+1 — round-5 discovery), so the
-        # healthcheck's conditioning verdict comes from THIS number.
-        pis = precond_inv_sqrt_from_sketch(U, lam, good, rho)
-        s_matvec = lambda u: pis(c_matvec(pis(u)))
-        w0 = jax.random.normal(jax.random.fold_in(key, 0x51F0), (d_z,))
-        w = jax.lax.fori_loop(
-            0, 30,
-            lambda _, w: (lambda u: u / jnp.maximum(jnp.linalg.norm(u),
-                                                    1e-30))(s_matvec(w)),
-            w0 / jnp.linalg.norm(w0))
-        lam_seen = jnp.maximum(
-            jnp.vdot(w, s_matvec(w)) / jnp.vdot(w, w) - rho, 0.0)
+    return nystrom_sketch(gram_mm, d_z, rank,
+                          jax.random.fold_in(key, 0x4E59), power=power)
 
+
+@jax.jit
+def _probe_lam_seen(state, Z, U, lam, good, rho, key):
+    """MEASURE the deflated spectrum: power-iterate the symmetric
+    S = P^{-1/2} C P^{-1/2}. The sketch's λ̂_k estimates λ_{k+1} only
+    under fast spectral decay; at trained-MAP Grams it can be off by 5
+    orders of magnitude (sketch claimed kappa_defl=2.8 while CG stalled
+    at residual 1e+1 — round-5 discovery), so the healthcheck's
+    conditioning verdict comes from THIS number."""
+    from laplace_inducing_points_tpu.ops.nystrom import (
+        precond_inv_sqrt_from_sketch)
+    _, d_z, c_matvec = _probe_factor(state, Z)
+    pis = precond_inv_sqrt_from_sketch(U, lam, good, rho)
+    s_matvec = lambda u: pis(c_matvec(pis(u), rho))
+    w0 = jax.random.normal(jax.random.fold_in(key, 0x51F0), (d_z,))
+    w = jax.lax.fori_loop(
+        0, 30,
+        lambda _, w: (lambda u: u / jnp.maximum(jnp.linalg.norm(u),
+                                                1e-30))(s_matvec(w)),
+        w0 / jnp.linalg.norm(w0))
+    return jnp.maximum(jnp.vdot(w, s_matvec(w)) / jnp.vdot(w, w) - rho, 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "use_precond"))
+def _probe_cg(state, Z, U, lam, good, rho, key, n_probes: int,
+              cg_tol: float, cg_maxiter, use_precond: bool):
+    """Worst relative residual of the inner CG on ``n_probes`` random
+    right-hand sides (same operator, preconditioner construction, and
+    budget as the objective's ``c_solve``). ``cg_maxiter`` is a DYNAMIC
+    argument (None or int): a maxiter sweep — the healthcheck's natural
+    diagnostic use — reuses one compiled graph. With
+    ``use_precond=False`` the sketch arguments are unused dummies."""
+    from laplace_inducing_points_tpu.ops.nystrom import precond_from_sketch
+    _, d_z, c_matvec = _probe_factor(state, Z)
+    precond = (precond_from_sketch(U, lam, good, rho)
+               if use_precond else None)
     maxiter = (10 * d_z) if cg_maxiter is None else cg_maxiter
     b = jax.random.normal(key, (n_probes, d_z))
     solve = lambda u: jax.scipy.sparse.linalg.cg(
-        c_matvec, u, tol=cg_tol, maxiter=maxiter, M=precond)[0]
+        lambda v: c_matvec(v, rho), u, tol=cg_tol, maxiter=maxiter,
+        M=precond)[0]
     X = jax.vmap(solve)(b)
-    num = jnp.linalg.norm(jax.vmap(c_matvec)(X) - b, axis=-1)
+    num = jnp.linalg.norm(jax.vmap(lambda v: c_matvec(v, rho))(X) - b,
+                          axis=-1)
     den = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-30)
-    return jnp.max(num / den), lam_max, lam_defl, lam_seen
+    return jnp.max(num / den)
 
 
 def matfree_cg_healthcheck(state, Z, alpha, *,
@@ -418,12 +450,26 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
     M = Z.shape[0]
     N = full_set_size or M
     key = key if key is not None else jax.random.PRNGKey(0)
-    res, lam_max, lam_defl, lam_seen = (
-        float(x) for x in _matfree_cg_probe(state, Z, float(alpha), N / M,
-                                            key, n_probes, cg_tol,
-                                            cg_maxiter, precond_rank,
-                                            precond_power))
     rho = float(alpha) / (N / M)
+    # staged probes (compile-helper-sized graphs; see the block comment
+    # above _probe_factor)
+    lam_max = float(_probe_lam_max(state, Z, rho, key))
+    if precond_rank:
+        U, lam, good = _probe_sketch(state, Z, key, precond_rank,
+                                     precond_power)
+        lam_np = jnp.where(good, lam, jnp.inf)
+        lam_defl = float(jnp.min(lam_np))
+        if not jnp.isfinite(lam_defl):
+            lam_defl = lam_max
+        lam_seen = float(_probe_lam_seen(state, Z, U, lam, good, rho, key))
+        res = float(_probe_cg(state, Z, U, lam, good, rho, key, n_probes,
+                              cg_tol, cg_maxiter, True))
+    else:
+        lam_defl = lam_max
+        lam_seen = lam_max
+        dummy = jnp.zeros((1, 1)), jnp.zeros((1,)), jnp.zeros((1,), bool)
+        res = float(_probe_cg(state, Z, *dummy, rho, key, n_probes,
+                              cg_tol, cg_maxiter, False))
     kappa = (lam_max + rho) / rho
     # Two deflated-kappa numbers. kappa_deflated_sketch trusts the
     # Nyström sketch's smallest kept eigenvalue (capped below by the
@@ -590,9 +636,15 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   cg_tol: float = 1e-3,
                   cg_maxiter: Optional[int] = None,
                   precond_rank: Optional[int] = 64,
-                  precond_power: int = 0):
+                  precond_power: int = 0,
+                  precond_sketch=None):
     """One jitted gradient step on Z (parity: ``optimize_step``,
-    ``/root/reference/src/train_inducing.py:199-232``)."""
+    ``/root/reference/src/train_inducing.py:199-232``).
+
+    ``precond_sketch``: optional staged Nyström sketch ``(U, lam, good)``
+    for the matfree objective — device arrays from :func:`_probe_sketch`,
+    traced as jit ARGUMENTS so the grad graph never holds the sketch's
+    HIGHEST-precision matmat stack (compile-helper OOM otherwise)."""
     kwargs = dict(full_set_size=full_set_size)
     if objective == "gram":
         kwargs.update(example_block=example_block)
@@ -602,7 +654,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
     if objective == "stochastic_matfree":
         kwargs.update(cg_tol=cg_tol, cg_maxiter=cg_maxiter,
                       precond_rank=precond_rank,
-                      precond_power=precond_power)
+                      precond_power=precond_power,
+                      precond_sketch=precond_sketch)
     loss, grads = jax.value_and_grad(OBJECTIVES[objective])(
         Z, X, state, alpha, key, **kwargs)
     updates, new_opt_state = optimizer.update(grads, opt_state, Z)
@@ -733,6 +786,15 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                 optimizer=optimizer, full_set_size=full_set_size,
                 example_block=example_block)
         else:
+            sketch = None
+            if objective == "stochastic_matfree" and precond_rank:
+                # Fresh per-step sketch, built OUTSIDE the grad graph (its
+                # own small jit) and handed in as device arrays — same
+                # key-stream (the objective's 0x4E59 fold of this step's
+                # sub-key), so the staged path is bit-comparable to the
+                # monolithic one; see optimize_step's precond_sketch note.
+                sketch = _probe_sketch(state, Z, sub, precond_rank,
+                                       precond_power)
             Z, opt_state, loss = optimize_step(
                 Z, x_batch, state, alpha, opt_state, sub,
                 objective=objective, optimizer=optimizer,
@@ -740,7 +802,7 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                 slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
                 example_block=example_block, cg_tol=cg_tol,
                 cg_maxiter=cg_maxiter, precond_rank=precond_rank,
-                precond_power=precond_power)
+                precond_power=precond_power, precond_sketch=sketch)
         check = step % 10 == 0 or step == num_steps - 1
         if check or callback is not None:
             loss_f = float(loss)

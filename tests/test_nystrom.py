@@ -251,6 +251,30 @@ def test_blocked_probe_sweeps_match_unblocked():
     assert sketch_probe_block(100_000, 64) == 1
 
 
+def test_staged_sketch_matches_internal_build():
+    """Round-5 compile-graph staging: passing a precomputed Nyström sketch
+    (``_probe_sketch`` — the same fold_in key stream as the objective's
+    internal build) through ``precond_sketch`` must reproduce the
+    monolithic objective's value AND dZ-gradient. This is the contract
+    that lets training keep the HIGHEST-precision sketch OUT of the
+    value_and_grad graph (remote-compile-helper OOM otherwise) without
+    changing what a step computes."""
+    _, state, (x, _) = classifier_state()
+    Z, X = x[:5], x[:12]
+    alpha, N = 0.6, 24
+    kw = dict(full_set_size=N, st_samples=32, slq_samples=2,
+              slq_num_matvecs=8, precond_rank=6, precond_power=1)
+    key = jax.random.PRNGKey(3)
+    obj = ind.OBJECTIVES["stochastic_matfree"]
+    v_mono, g_mono = jax.value_and_grad(obj)(Z, X, state, alpha, key, **kw)
+    sketch = ind._probe_sketch(state, Z, key, 6, 1)
+    v_stg, g_stg = jax.value_and_grad(obj)(Z, X, state, alpha, key,
+                                           precond_sketch=sketch, **kw)
+    assert jnp.allclose(v_mono, v_stg, rtol=1e-5, atol=1e-6), (v_mono, v_stg)
+    scale = jnp.max(jnp.abs(g_mono)) + 1e-8
+    assert jnp.max(jnp.abs(g_mono - g_stg)) < 1e-4 * scale
+
+
 def test_power_iteration_tightens_deflation():
     """Round-5: `power` subspace-iteration passes must (a) leave the
     P^{-1/2}∘P^{-1/2} = P⁻¹ identity intact, and (b) tighten the MEASURED

@@ -107,6 +107,11 @@ def build_parser():
     p.add_argument("--precond_rank", type=int, default=None,
                    help="matfree predictive: Nystrom deflation rank, 0 "
                         "disables (default config sampling.precond_rank, 64)")
+    p.add_argument("--cg_example_block", type=int, default=None,
+                   help="matfree predictive: run the HIGHEST-precision CG "
+                        "operator's jvp/vjp in example blocks of this size "
+                        "(bounds the remote-compile graph; default config "
+                        "sampling.cg_example_block)")
     p.add_argument("--jac_block", type=int, default=None,
                    help="image-axis chunk for the cov path's Jacobian build "
                         "(bounds (block, K, D) HBM); default config "
@@ -223,6 +228,9 @@ def main(argv=None):
         precond_power = (args.precond_power
                          if args.precond_power is not None
                          else sampling_cfg.get("precond_power", 0))
+        cg_example_block = (args.cg_example_block
+                            if args.cg_example_block is not None
+                            else sampling_cfg.get("cg_example_block"))
         predictor = ScalableLLAPredictor(state, Z,
                                          full_set_size=full_set_size,
                                          example_block=example_block,
@@ -234,7 +242,8 @@ def main(argv=None):
                                          cg_tol=cg_tol,
                                          cg_maxiter=cg_maxiter,
                                          precond_rank=precond_rank,
-                                         precond_power=precond_power)
+                                         precond_power=precond_power,
+                                         cg_example_block=cg_example_block)
         jax.block_until_ready(predictor.nys if predictive == "matfree"
                               else predictor.lam)
         print(f"[predictor] posterior factor built in {time.time()-t0:.1f} s")

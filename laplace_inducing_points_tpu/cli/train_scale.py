@@ -217,7 +217,9 @@ def main(argv=None):
             example_block=ip_cfg.get("example_block"),
             cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
             precond_rank=ip_cfg["precond_rank"],
-            precond_power=ip_cfg["precond_power"], callback=callback)
+            precond_power=ip_cfg["precond_power"],
+            cg_example_block=ip_cfg.get("cg_example_block"),
+            callback=callback)
     if args.profile:
         print(f"[profile] device trace written to {args.profile}")
     if args.train_log and train_log_rows:
@@ -244,7 +246,8 @@ def main(argv=None):
                 state, Z, alpha_ip, full_set_size=full_set_size,
                 cg_tol=ip_cfg["cg_tol"], cg_maxiter=ip_cfg["cg_maxiter"],
                 precond_rank=ip_cfg["precond_rank"],
-                precond_power=ip_cfg["precond_power"], warn=False)
+                precond_power=ip_cfg["precond_power"],
+                cg_example_block=ip_cfg.get("cg_example_block"), warn=False)
             summary["cg_rel_residual_post"] = f"{hc['cg_rel_residual']:.2e}"
             summary["cg_converged_post"] = bool(hc["converged"])
             summary["kappa_post"] = round(hc["kappa"], 1)

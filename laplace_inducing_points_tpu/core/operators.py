@@ -349,6 +349,150 @@ def _example_rows_fn(lin: Linearization, scale) -> Callable[[jnp.ndarray], jnp.n
     return rows
 
 
+@dataclass(frozen=True)
+class BlockedWFactor:
+    """``W`` as a matrix-free operator whose model jvp/vjp runs in
+    sequential EXAMPLE blocks (``lax.map`` forward / ``lax.scan`` reverse).
+
+    Same operator semantics as :class:`WFactor` (dense-twin tested), but
+    the compiled unit holds one *block-sized* linearized apply instead of
+    the full-``M`` one. Two independent resource walls motivate it:
+
+    * **Remote-compile memory.** At ``matmul_precision="highest"`` every
+      conv/dot in the jvp/vjp lowers to multi-pass f32 MXU emulation, and
+      the chipless remote compile helper OOMs (SIGKILL) on the monolithic
+      LeNet5 factor at M ≥ 1024 (measured, round 5 — the DEFAULT-precision
+      monolith compiled fine at M=4096). Blocking makes HLO size
+      independent of M, the same cure :func:`dense_wt`'s ``example_block``
+      applies to the row build.
+    * **Activation memory.** The monolithic factor's jvp keeps all M
+      examples' tangent activations live; blocks bound that to ``b``.
+
+    Cost: the primal forward is recomputed per matvec (per CG iteration) —
+    ``jax.linearize``'s stored residuals for all blocks are exactly the
+    memory being avoided — and blocks run sequentially. Both taxes are
+    inherent to the memory bound, not overheads to tune away.
+
+    Padding contract: when ``b ∤ M`` the example axis is padded with
+    ``Z[:pad]`` duplicates; ``t_matvec`` trims their rows (zero cotangent,
+    so no phantom dZ contribution) and ``matvec`` feeds them zero
+    coefficients (the vjp is linear in them, so they add nothing to either
+    the value or dZ).
+    """
+    inner_shape: Tuple[int, int]          # (M, K)
+    num_params: int                       # D
+    scale: float
+    _t_matvec: Callable[[jnp.ndarray], jnp.ndarray] = field(repr=False, default=None)
+    _matvec: Callable[[jnp.ndarray], jnp.ndarray] = field(repr=False, default=None)
+
+    @property
+    def d(self) -> int:
+        M, K = self.inner_shape
+        return M * K
+
+    def t_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        """``Wᵀ v``: ``(D,) -> (M, K)``, blockwise."""
+        return self._t_matvec(v)
+
+    def matvec(self, U: jnp.ndarray) -> jnp.ndarray:
+        """``W U``: ``(M, K) -> (D,)``, blockwise-accumulated."""
+        return self._matvec(U)
+
+    def t_matmat(self, V: jnp.ndarray,
+                 block: Optional[int] = None) -> jnp.ndarray:
+        """Batched ``Wᵀ`` over probes: ``(P, D) -> (P, M, K)``."""
+        return _probe_blocked(jax.vmap(self.t_matvec), V, block)
+
+    def matmat(self, U: jnp.ndarray,
+               block: Optional[int] = None) -> jnp.ndarray:
+        """Batched ``W`` over probes: ``(P, M, K) -> (P, D)``."""
+        return _probe_blocked(jax.vmap(self.matvec), U, block)
+
+    def gram_matmat(self, V: jnp.ndarray,
+                    block: Optional[int] = None) -> jnp.ndarray:
+        """Blocked Gram action ``Wᵀ(W ·)`` on flat probe rows, as in
+        :meth:`WFactor.gram_matmat`."""
+        Mk, Kk = self.inner_shape
+        d = Mk * Kk
+
+        def one(v):
+            return self.t_matvec(self.matvec(v.reshape(Mk, Kk))).reshape(d)
+
+        return _probe_blocked(jax.vmap(one), V, block)
+
+
+def make_w_factor_blocked(state: Any, Z: jnp.ndarray, example_block: int,
+                          full_set_size: Optional[int] = None,
+                          matmul_precision: Optional[str] = None
+                          ) -> BlockedWFactor:
+    """Build a :class:`BlockedWFactor` over ``Z`` in blocks of
+    ``example_block`` examples (see the class docstring for when).
+
+    Dense twin: equal to :func:`make_w_factor`'s operator in value AND
+    dZ-gradient (``tests/test_ggn.py``); the per-block jvp/vjp is the same
+    batched-apply construction, just over ``Z[s:s+b]`` slices.
+    """
+    M = Z.shape[0]
+    b = int(min(example_block, M))
+    pad = (-M) % b
+    Zp = jnp.concatenate([Z, Z[:pad]], axis=0) if pad else Z
+    nb = Zp.shape[0] // b
+    Zb = Zp.reshape((nb, b) + Z.shape[1:])
+
+    flat, unravel = flatten_nn_params(state.params)
+    _, aux = split_nn_params(state.params)
+    kind = state.model_kind
+    D = flat.shape[0]
+
+    if matmul_precision is None:
+        def _prec_ctx():
+            import contextlib
+            return contextlib.nullcontext()
+    else:
+        def _prec_ctx():
+            return jax.default_matmul_precision(matmul_precision)
+
+    logvar = 0.0
+    if kind == lh.REGRESSOR and "logvar" in state.params:
+        logvar = state.params["logvar"]
+        if isinstance(logvar, dict):
+            logvar = logvar["logvar"]
+
+    def f_at(z_blk):
+        def f(flat_p):
+            params = {**unravel(flat_p), **aux}
+            with _prec_ctx():
+                return model_outputs(state, params, z_blk)
+        return f
+
+    K = jax.eval_shape(f_at(Zb[0]), flat).shape[-1]
+    scale = math.sqrt((full_set_size or M) / M)
+
+    def t_matvec(v):
+        def body(z_blk):
+            f0, jv = jax.jvp(f_at(z_blk), (flat,), (v,))
+            return lh.sqrt_h_t_apply(kind, f0, jv, logvar)       # (b, K)
+        out = jax.lax.map(body, Zb)                              # (nb, b, K)
+        return scale * out.reshape(nb * b, K)[:M]
+
+    def matvec(U):
+        Up = (jnp.concatenate([U, jnp.zeros((pad, K), U.dtype)])
+              if pad else U)
+        Ub = Up.reshape(nb, b, K)
+
+        def body(carry, inp):
+            z_blk, u_blk = inp
+            f0, vjp_fn = jax.vjp(f_at(z_blk), flat)
+            lU = lh.sqrt_h_apply(kind, f0, u_blk, logvar)
+            return carry + vjp_fn(lU)[0], None
+
+        out, _ = jax.lax.scan(body, jnp.zeros((D,), flat.dtype), (Zb, Ub))
+        return scale * out
+
+    return BlockedWFactor(inner_shape=(M, K), num_params=D, scale=scale,
+                          _t_matvec=t_matvec, _matvec=matvec)
+
+
 def dense_wt(state: Any, Z: jnp.ndarray, *, scale: jnp.ndarray | float = 1.0,
              lin: Optional[Linearization] = None,
              example_block: Optional[int] = None) -> jnp.ndarray:

@@ -179,8 +179,9 @@ def _jitted_jac_stats(state, x, R, jac_block):
     return ops.predictive_jac_stats(state, x, R, jac_block=jac_block)
 
 
-@partial(jax.jit, static_argnames=("rank", "power"))
-def _jitted_nystrom_sketch(state, Z, beta, rank: int, key, power: int = 0):
+@partial(jax.jit, static_argnames=("rank", "power", "example_block"))
+def _jitted_nystrom_sketch(state, Z, beta, rank: int, key, power: int = 0,
+                           example_block: Optional[int] = None):
     """Nyström sketch of ``β·Gzz`` for the matfree predictor, amortized per
     ``(state, Z)`` — the ``rank`` Gram matvecs are the expensive part; the
     α-dependent tail is O(rank) inside the per-batch step."""
@@ -189,8 +190,15 @@ def _jitted_nystrom_sketch(state, Z, beta, rank: int, key, power: int = 0):
     # HIGHEST precision: this sketch preconditions the eval CG whose
     # operator runs at HIGHEST (bf16 matvecs floor the CG residual at
     # ~ε·λ_max/α — see training/inducing.py's matfree branch).
-    w = ops.make_w_factor(state, Z, full_set_size=None,
-                          matmul_precision="highest")
+    # ``example_block``: blocked factor so the HIGHEST graph stays within
+    # the remote compile helper's memory at M ≥ 1024 (BlockedWFactor).
+    if example_block:
+        w = ops.make_w_factor_blocked(state, Z, example_block,
+                                      full_set_size=None,
+                                      matmul_precision="highest")
+    else:
+        w = ops.make_w_factor(state, Z, full_set_size=None,
+                              matmul_precision="highest")
     M_, K_ = w.inner_shape
     d = M_ * K_
     blk = sketch_probe_block(M_, rank)
@@ -202,11 +210,12 @@ def _jitted_nystrom_sketch(state, Z, beta, rank: int, key, power: int = 0):
 
 
 @partial(jax.jit, static_argnames=("num_samples", "cg_tol", "cg_maxiter",
-                                   "sample_block", "sample_sharding"))
+                                   "sample_block", "sample_sharding",
+                                   "example_block"))
 def _matfree_logit_samples(state, Z, nys_U, nys_lam, nys_good, alpha, beta,
                            x, key, num_samples: int, cg_tol: float,
                            cg_maxiter, sample_block=None,
-                           sample_sharding=None):
+                           sample_sharding=None, example_block=None):
     """One jitted eval step of the ``d_z``-UNBOUNDED predictive: Matheron
     posterior draws by preconditioned CG against the matrix-free Gram
     operator + the linearized push-forward at ``x``. Nothing of size
@@ -231,8 +240,13 @@ def _matfree_logit_samples(state, Z, nys_U, nys_lam, nys_good, alpha, beta,
     # Matheron cancellation ``eps − √β·W X`` — a posterior-SAMPLE
     # contraction, where bf16 error re-enters the draws amplified ~√λ_max
     # (core.operators.pdot postmortem).
-    wz = ops.make_w_factor(state, Z, full_set_size=None,
-                           matmul_precision="highest")
+    if example_block:
+        wz = ops.make_w_factor_blocked(state, Z, example_block,
+                                       full_set_size=None,
+                                       matmul_precision="highest")
+    else:
+        wz = ops.make_w_factor(state, Z, full_set_size=None,
+                               matmul_precision="highest")
     M_, K_ = wz.inner_shape
     d = M_ * K_
     D = wz.num_params
@@ -384,6 +398,7 @@ class ScalableLLAPredictor:
                  precond_rank: Optional[int] = 64,
                  precond_power: int = 0,
                  precond_key: Optional[jax.Array] = None,
+                 cg_example_block: Optional[int] = None,
                  eigh_host: Optional[bool] = None):
         M = Z.shape[0]
         if method not in ("weight", "cov", "matfree"):
@@ -414,6 +429,7 @@ class ScalableLLAPredictor:
                       else jnp.asarray(Z))
             self.cg_tol = cg_tol
             self.cg_maxiter = cg_maxiter
+            self.cg_example_block = cg_example_block
             self._cg_warned = False
             if sample_block is None:
                 # each CG iteration of a draw chunk keeps chunk·M examples'
@@ -431,7 +447,8 @@ class ScalableLLAPredictor:
                     min(precond_rank, d_z),
                     precond_key if precond_key is not None
                     else jax.random.PRNGKey(0x4E59),
-                    power=precond_power)
+                    power=precond_power,
+                    example_block=cg_example_block)
                 if repl is not None:
                     self.nys = jax.device_put(self.nys, repl)
             return
@@ -541,7 +558,8 @@ class ScalableLLAPredictor:
                 *(self.nys if self.nys is not None else (None, None, None)),
                 alpha, self.beta, jnp.asarray(x, dtype=jnp.float32), key,
                 num_samples, self.cg_tol, self.cg_maxiter,
-                self.sample_block, self.sample_sharding)
+                self.sample_block, self.sample_sharding,
+                self.cg_example_block)
             # threshold floored at the f32-attainable residual (~1e-5):
             # a cg_tol below round-off is a fully-converged solve, not a
             # maxiter stall

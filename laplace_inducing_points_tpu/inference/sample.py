@@ -160,7 +160,8 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
                           cg_maxiter: Optional[int] = None,
                           precond_rank: Optional[int] = 64,
                           precond_power: int = 0,
-                          precond_key: Optional[jax.Array] = None):
+                          precond_key: Optional[jax.Array] = None,
+                          cg_example_block: Optional[int] = None):
     """Exact posterior draws WITHOUT any matrix square root (round 3).
 
     Matheron's rule for the low-rank-plus-identity precision
@@ -251,8 +252,16 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
     # cause, training/inducing.py) AND the ``eps − √β·corr`` cancellation
     # below, a posterior-sample contraction per core.operators.pdot's
     # postmortem.
-    w = ops.make_w_factor(state, Z, full_set_size=None,
-                          matmul_precision="highest")
+    # ``cg_example_block``: blocked jvp/vjp so the HIGHEST graph stays
+    # within the remote compile helper's memory at M ≥ 1024
+    # (core.operators.BlockedWFactor).
+    if cg_example_block:
+        w = ops.make_w_factor_blocked(state, Z, cg_example_block,
+                                      full_set_size=None,
+                                      matmul_precision="highest")
+    else:
+        w = ops.make_w_factor(state, Z, full_set_size=None,
+                              matmul_precision="highest")
     M_, K_ = w.inner_shape
     d = M_ * K_
 

@@ -149,7 +149,8 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
                             cg_maxiter: Optional[int] = None,
                             precond_rank: Optional[int] = 64,
                             precond_power: int = 0,
-                            precond_sketch=None
+                            precond_sketch=None,
+                            cg_example_block: Optional[int] = None
                             ) -> jnp.ndarray:
     """Hutch++ trace + SLQ logdet with shared Rademacher probes.
 
@@ -220,8 +221,18 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
         # RESULTS.md "Matfree inner CG").  The probe SWEEPS stay at the
         # ~6× cheaper default: their error enters the trace linearly and
         # sits far below the 1/√P estimator noise.
-        wz_cg = ops.make_w_factor(state, Z, full_set_size=None,
-                                  matmul_precision="highest")
+        # ``cg_example_block``: run the HIGHEST operator's jvp/vjp in
+        # sequential example blocks — the remote chipless compile helper
+        # OOMs on the monolithic HIGHEST factor at M ≥ 1024 (SIGKILL,
+        # measured round 5), and blocking makes the compiled unit's size
+        # independent of M (see core.operators.BlockedWFactor).
+        if cg_example_block:
+            wz_cg = ops.make_w_factor_blocked(
+                state, Z, cg_example_block, full_set_size=None,
+                matmul_precision="highest")
+        else:
+            wz_cg = ops.make_w_factor(state, Z, full_set_size=None,
+                                      matmul_precision="highest")
 
         def c_matvec(u):
             gu = wz_cg.t_matvec(wz_cg.matvec(u.reshape(Mk, Kk))).reshape(d_z)
@@ -327,9 +338,14 @@ OBJECTIVES = {
 # ~ε·λ_max/ρ regardless of preconditioning).
 
 
-def _probe_factor(state, Z):
-    wz = ops.make_w_factor(state, Z, full_set_size=None,
-                           matmul_precision="highest")
+def _probe_factor(state, Z, example_block=None):
+    if example_block:
+        wz = ops.make_w_factor_blocked(state, Z, example_block,
+                                       full_set_size=None,
+                                       matmul_precision="highest")
+    else:
+        wz = ops.make_w_factor(state, Z, full_set_size=None,
+                               matmul_precision="highest")
     Mk, Kk = wz.inner_shape
     d_z = Mk * Kk
 
@@ -340,11 +356,11 @@ def _probe_factor(state, Z):
     return wz, d_z, c_matvec
 
 
-@jax.jit
-def _probe_lam_max(state, Z, rho, key):
+@partial(jax.jit, static_argnames=("example_block",))
+def _probe_lam_max(state, Z, rho, key, example_block=None):
     """Top eigenvalue of C = G + ρI, 30 power-iteration steps (GGN
     spectra are front-loaded, so this converges fast)."""
-    _, d_z, c_matvec = _probe_factor(state, Z)
+    _, d_z, c_matvec = _probe_factor(state, Z, example_block)
     v0 = jax.random.normal(jax.random.fold_in(key, 0x9E37), (d_z,))
     v = jax.lax.fori_loop(
         0, 30,
@@ -354,13 +370,13 @@ def _probe_lam_max(state, Z, rho, key):
     return jnp.maximum(jnp.vdot(v, c_matvec(v, rho)) - rho, 0.0)
 
 
-@partial(jax.jit, static_argnames=("rank", "power"))
-def _probe_sketch(state, Z, key, rank: int, power: int):
+@partial(jax.jit, static_argnames=("rank", "power", "example_block"))
+def _probe_sketch(state, Z, key, rank: int, power: int, example_block=None):
     """Nyström sketch of G — the same construction the objective's
     preconditioner uses (same fold_in constant, same probe block)."""
     from laplace_inducing_points_tpu.ops.nystrom import (nystrom_sketch,
                                                          sketch_probe_block)
-    wz, d_z, _ = _probe_factor(state, Z)
+    wz, d_z, _ = _probe_factor(state, Z, example_block)
     blk = sketch_probe_block(wz.inner_shape[0], rank)
 
     def gram_mm(V):
@@ -370,8 +386,8 @@ def _probe_sketch(state, Z, key, rank: int, power: int):
                           jax.random.fold_in(key, 0x4E59), power=power)
 
 
-@jax.jit
-def _probe_lam_seen(state, Z, U, lam, good, rho, key):
+@partial(jax.jit, static_argnames=("example_block",))
+def _probe_lam_seen(state, Z, U, lam, good, rho, key, example_block=None):
     """MEASURE the deflated spectrum: power-iterate the symmetric
     S = P^{-1/2} C P^{-1/2}. The sketch's λ̂_k estimates λ_{k+1} only
     under fast spectral decay; at trained-MAP Grams it can be off by 5
@@ -380,7 +396,7 @@ def _probe_lam_seen(state, Z, U, lam, good, rho, key):
     conditioning verdict comes from THIS number."""
     from laplace_inducing_points_tpu.ops.nystrom import (
         precond_inv_sqrt_from_sketch)
-    _, d_z, c_matvec = _probe_factor(state, Z)
+    _, d_z, c_matvec = _probe_factor(state, Z, example_block)
     pis = precond_inv_sqrt_from_sketch(U, lam, good, rho)
     s_matvec = lambda u: pis(c_matvec(pis(u), rho))
     w0 = jax.random.normal(jax.random.fold_in(key, 0x51F0), (d_z,))
@@ -392,9 +408,11 @@ def _probe_lam_seen(state, Z, U, lam, good, rho, key):
     return jnp.maximum(jnp.vdot(w, s_matvec(w)) / jnp.vdot(w, w) - rho, 0.0)
 
 
-@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "use_precond"))
+@partial(jax.jit, static_argnames=("n_probes", "cg_tol", "use_precond",
+                                   "example_block"))
 def _probe_cg(state, Z, U, lam, good, rho, key, n_probes: int,
-              cg_tol: float, cg_maxiter, use_precond: bool):
+              cg_tol: float, cg_maxiter, use_precond: bool,
+              example_block=None):
     """Worst relative residual of the inner CG on ``n_probes`` random
     right-hand sides (same operator, preconditioner construction, and
     budget as the objective's ``c_solve``). ``cg_maxiter`` is a DYNAMIC
@@ -402,7 +420,7 @@ def _probe_cg(state, Z, U, lam, good, rho, key, n_probes: int,
     diagnostic use — reuses one compiled graph. With
     ``use_precond=False`` the sketch arguments are unused dummies."""
     from laplace_inducing_points_tpu.ops.nystrom import precond_from_sketch
-    _, d_z, c_matvec = _probe_factor(state, Z)
+    _, d_z, c_matvec = _probe_factor(state, Z, example_block)
     precond = (precond_from_sketch(U, lam, good, rho)
                if use_precond else None)
     maxiter = (10 * d_z) if cg_maxiter is None else cg_maxiter
@@ -425,6 +443,7 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
                            precond_power: int = 0,
                            key: Optional[jax.Array] = None,
                            n_probes: int = 4,
+                           cg_example_block: Optional[int] = None,
                            warn: bool = True) -> dict:
     """CG convergence visibility for the ``stochastic_matfree`` paths.
 
@@ -453,23 +472,25 @@ def matfree_cg_healthcheck(state, Z, alpha, *,
     rho = float(alpha) / (N / M)
     # staged probes (compile-helper-sized graphs; see the block comment
     # above _probe_factor)
-    lam_max = float(_probe_lam_max(state, Z, rho, key))
+    eb = cg_example_block
+    lam_max = float(_probe_lam_max(state, Z, rho, key, example_block=eb))
     if precond_rank:
         U, lam, good = _probe_sketch(state, Z, key, precond_rank,
-                                     precond_power)
+                                     precond_power, example_block=eb)
         lam_np = jnp.where(good, lam, jnp.inf)
         lam_defl = float(jnp.min(lam_np))
         if not jnp.isfinite(lam_defl):
             lam_defl = lam_max
-        lam_seen = float(_probe_lam_seen(state, Z, U, lam, good, rho, key))
+        lam_seen = float(_probe_lam_seen(state, Z, U, lam, good, rho, key,
+                                         example_block=eb))
         res = float(_probe_cg(state, Z, U, lam, good, rho, key, n_probes,
-                              cg_tol, cg_maxiter, True))
+                              cg_tol, cg_maxiter, True, example_block=eb))
     else:
         lam_defl = lam_max
         lam_seen = lam_max
         dummy = jnp.zeros((1, 1)), jnp.zeros((1,)), jnp.zeros((1,), bool)
         res = float(_probe_cg(state, Z, *dummy, rho, key, n_probes,
-                              cg_tol, cg_maxiter, False))
+                              cg_tol, cg_maxiter, False, example_block=eb))
     kappa = (lam_max + rho) / rho
     # Two deflated-kappa numbers. kappa_deflated_sketch trusts the
     # Nyström sketch's smallest kept eigenvalue (capped below by the
@@ -625,7 +646,7 @@ def optimize_step_chunked(Z, X, state, alpha, opt_state, key=None, *,
                                    "st_samples", "slq_samples",
                                    "slq_num_matvecs", "example_block",
                                    "cg_tol", "cg_maxiter", "precond_rank",
-                                   "precond_power"))
+                                   "precond_power", "cg_example_block"))
 def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   objective: str = "gram",
                   optimizer: optax.GradientTransformation,
@@ -637,7 +658,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
                   cg_maxiter: Optional[int] = None,
                   precond_rank: Optional[int] = 64,
                   precond_power: int = 0,
-                  precond_sketch=None):
+                  precond_sketch=None,
+                  cg_example_block: Optional[int] = None):
     """One jitted gradient step on Z (parity: ``optimize_step``,
     ``/root/reference/src/train_inducing.py:199-232``).
 
@@ -655,7 +677,8 @@ def optimize_step(Z, X, state, alpha, opt_state, key, *,
         kwargs.update(cg_tol=cg_tol, cg_maxiter=cg_maxiter,
                       precond_rank=precond_rank,
                       precond_power=precond_power,
-                      precond_sketch=precond_sketch)
+                      precond_sketch=precond_sketch,
+                      cg_example_block=cg_example_block)
     loss, grads = jax.value_and_grad(OBJECTIVES[objective])(
         Z, X, state, alpha, key, **kwargs)
     updates, new_opt_state = optimizer.update(grads, opt_state, Z)
@@ -747,6 +770,7 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                           cg_maxiter: Optional[int] = None,
                           precond_rank: Optional[int] = 64,
                           precond_power: int = 0,
+                          cg_example_block: Optional[int] = None,
                           callback: Optional[Callable] = None,
                           checkpoint_dir: Optional[str] = None,
                           checkpoint_name: str = "ind",
@@ -766,7 +790,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
         hc = matfree_cg_healthcheck(
             state, Z, alpha, full_set_size=full_set_size, cg_tol=cg_tol,
             cg_maxiter=cg_maxiter, precond_rank=precond_rank,
-            precond_power=precond_power, key=hk)
+            precond_power=precond_power, key=hk,
+            cg_example_block=cg_example_block)
         if verbose:
             print(f"[inducing] matfree CG healthcheck: rel residual "
                   f"{hc['cg_rel_residual']:.2e} "
@@ -794,7 +819,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                 # sub-key), so the staged path is bit-comparable to the
                 # monolithic one; see optimize_step's precond_sketch note.
                 sketch = _probe_sketch(state, Z, sub, precond_rank,
-                                       precond_power)
+                                       precond_power,
+                                       example_block=cg_example_block)
             Z, opt_state, loss = optimize_step(
                 Z, x_batch, state, alpha, opt_state, sub,
                 objective=objective, optimizer=optimizer,
@@ -802,7 +828,8 @@ def train_inducing_points(state, z_init: jnp.ndarray,
                 slq_samples=slq_samples, slq_num_matvecs=slq_num_matvecs,
                 example_block=example_block, cg_tol=cg_tol,
                 cg_maxiter=cg_maxiter, precond_rank=precond_rank,
-                precond_power=precond_power, precond_sketch=sketch)
+                precond_power=precond_power, precond_sketch=sketch,
+                cg_example_block=cg_example_block)
         check = step % 10 == 0 or step == num_steps - 1
         if check or callback is not None:
             loss_f = float(loss)

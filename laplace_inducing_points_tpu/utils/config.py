@@ -42,6 +42,9 @@ IP_DEFAULTS = {
     "cg_maxiter": None,
     "precond_rank": 64,         # Nyström deflation rank (ops/nystrom.py)
     "precond_power": 0,         # sketch subspace-iteration passes
+    "cg_example_block": None,   # blocked HIGHEST CG operator: bound the
+                                # remote-compile graph to this many examples
+                                # (core.operators.BlockedWFactor)
 }
 
 MAP_DEFAULTS = {
@@ -65,6 +68,7 @@ SAMPLING_DEFAULTS = {
     "cg_maxiter": None,
     "precond_rank": 64,
     "precond_power": 0,         # sketch subspace-iteration passes
+    "cg_example_block": None,   # blocked HIGHEST CG operator (see IP_DEFAULTS)
 }
 
 

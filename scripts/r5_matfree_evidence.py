@@ -129,6 +129,10 @@ def main():
                    help="part 0: which (M, Z) profiles to run — each "
                         "(shape, rank, power) is a fresh remote compile, "
                         "so trim this on a cold cache")
+    p.add_argument("--cg_example_block", type=int, default=None,
+                   help="blocked HIGHEST CG operator (BlockedWFactor): "
+                        "bounds every matfree remote-compile graph to this "
+                        "many examples per lax.map/scan body")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -190,7 +194,8 @@ def main():
             return kl_objective_stochastic(
                 z, x, st, a, k, materialize_w=False, cg_tol=args.cg_tol,
                 cg_maxiter=mi, precond_rank=rank or None,
-                precond_power=power, **obj_kw)
+                precond_power=power,
+                cg_example_block=args.cg_example_block, **obj_kw)
         return jax.jit(lambda z, x, st, a, k, mi:
                        jax.value_and_grad(f)(z, x, st, a, k, mi))
 
@@ -239,7 +244,9 @@ def main():
                             full_set_size=args.full_set,
                             cg_tol=args.cg_tol, cg_maxiter=mi,
                             precond_rank=rank, precond_power=power,
-                            key=jax.random.PRNGKey(11), warn=False)
+                            key=jax.random.PRNGKey(11),
+                            cg_example_block=args.cg_example_block,
+                            warn=False)
                         record(op="cond_profile", M=M, d_z=d_z,
                                source=source,
                                alpha=args.alpha, precond_rank=rank,
@@ -325,6 +332,7 @@ def main():
                 cg_tol=args.cg_tol, cg_maxiter=maxiter,
                 precond_rank=rank or None, precond_power=power,
                 key=jax.random.PRNGKey(11),
+                cg_example_block=args.cg_example_block,
                 warn=False)
             record(op="grad_contract", M=M, d_z=d_z, alpha=args.alpha,
                    precond_rank=rank, cg_maxiter=maxiter,
@@ -356,7 +364,8 @@ def main():
                 cg_tol=args.cg_tol, cg_maxiter=args.base_maxiter,
                 precond_rank=args.base_rank,
                 precond_power=args.base_power,
-                key=jax.random.PRNGKey(11), warn=False)
+                key=jax.random.PRNGKey(11),
+                cg_example_block=args.cg_example_block, warn=False)
             record(op="alpha_envelope", M=M, d_z=d_z, alpha=a,
                    precond_rank=args.base_rank,
                    cg_maxiter=args.base_maxiter,
@@ -407,7 +416,8 @@ def main():
                     slq_samples=2, slq_num_matvecs=args.slq_matvecs,
                     cg_tol=args.cg_tol, cg_maxiter=args.base_maxiter,
                     precond_rank=args.base_rank,
-                    precond_power=args.base_power)
+                    precond_power=args.base_power,
+                    cg_example_block=args.cg_example_block)
                 losses.append(float(loss))
                 if (i + 1) % snap_every == 0 or i == n_steps - 1:
                     snaps[i + 1] = Z
@@ -457,7 +467,8 @@ def main():
                         slq_num_matvecs=args.slq_matvecs,
                         materialize_w=False, cg_tol=1e-4,
                         cg_maxiter=300, precond_rank=args.base_rank,
-                        precond_power=args.base_power)
+                        precond_power=args.base_power,
+                        cg_example_block=args.cg_example_block)
         judge = jax.jit(lambda z, x, st, a, k: kl_objective_stochastic(
             z, x, st, a, k, **judge_kw))
         X_eval = jnp.asarray(x_all[:args.eval_batch])
@@ -511,7 +522,8 @@ def main():
                 slq_samples=2, slq_num_matvecs=args.slq_matvecs,
                 cg_tol=args.cg_tol, cg_maxiter=args.base_maxiter,
                 precond_rank=args.base_rank,
-                precond_power=args.base_power)
+                precond_power=args.base_power,
+                cg_example_block=args.cg_example_block)
             losses.append(float(loss))
             if i % 10 == 0:
                 log(f"[evidence]   noise step {i}: loss={losses[-1]:.1f}")

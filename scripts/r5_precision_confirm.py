@@ -89,6 +89,10 @@ def main():
     p.add_argument("--rank", type=int, default=64)
     p.add_argument("--powers", type=int, nargs="+", default=[0, 1])
     p.add_argument("--maxiters", type=int, nargs="+", default=[100, 400])
+    p.add_argument("--cg_example_block", type=int, default=None,
+                   help="blocked HIGHEST CG operator (BlockedWFactor): "
+                        "bounds the remote-compile graph to this many "
+                        "examples per lax.map/scan body")
     p.add_argument("--skip_a", action="store_true")
     p.add_argument("--skip_b", action="store_true")
     p.add_argument("--skip_c", action="store_true")
@@ -151,11 +155,13 @@ def main():
                     cg_tol=args.cg_tol, cg_maxiter=mi,
                     precond_rank=args.rank, precond_power=power,
                     key=jax.random.PRNGKey(11), n_probes=n_probes,
+                    cg_example_block=args.cg_example_block,
                     warn=False)
                 record(op="cond_profile_f32", M=M, d_z=d_z, source=source,
                        alpha=args.alpha, precond_rank=args.rank,
                        precond_power=power, cg_maxiter=mi,
                        cg_tol=args.cg_tol, n_probes=n_probes,
+                       cg_example_block=args.cg_example_block,
                        lam_max=f"{hc['lam_max']:.4g}",
                        lam_seen=f"{hc['lam_seen']:.4g}",
                        kappa=round(hc["kappa"], 1),
@@ -198,7 +204,8 @@ def main():
                     z, x, st, a, k, materialize_w=False,
                     cg_tol=args.cg_tol, cg_maxiter=mi,
                     precond_rank=args.rank, precond_power=1,
-                    precond_sketch=sk, **obj_kw)
+                    precond_sketch=sk,
+                    cg_example_block=args.cg_example_block, **obj_kw)
             mf_vg = jax.jit(lambda z, x, st, a, k, mi, sk:
                             jax.value_and_grad(mf)(z, x, st, a, k, mi, sk))
 
@@ -211,7 +218,8 @@ def main():
             jax.block_until_ready(g2)
             noise = float(jnp.linalg.norm((g2 - g_ref).ravel())
                           / (jnp.linalg.norm(g_ref.ravel()) + 1e-30))
-            sketch = _probe_sketch(state, Z, keys[0], args.rank, 1)
+            sketch = _probe_sketch(state, Z, keys[0], args.rank, 1,
+                                   example_block=args.cg_example_block)
             jax.block_until_ready(sketch)
             for mi in args.maxiters:
                 t0 = time.time()
@@ -227,6 +235,7 @@ def main():
                        d_z=args.m_small * 10, alpha=args.alpha,
                        precond_rank=args.rank, precond_power=1,
                        cg_maxiter=mi, cg_tol=args.cg_tol,
+                       cg_example_block=args.cg_example_block,
                        value_rel_err=f"{abs(float(v - v_ref)) / abs(float(v_ref)):.2e}",
                        grad_rel_l2=round(rel, 4), grad_cosine=round(cos, 6),
                        grad_norm_mat=round(float(jnp.linalg.norm(g_ref.ravel())), 2),

@@ -201,3 +201,62 @@ def test_w_factor_matmul_precision_binds_highest():
     hi = w_hi.t_matvec(w_hi.matvec(v))
     de = w_def.t_matvec(w_def.matvec(v))
     assert jnp.allclose(hi, de, rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_w_factor_twin():
+    """BlockedWFactor == WFactor on every operator action, value AND
+    dZ-gradient — the contract that lets the matfree CG operator run in
+    example blocks when the monolithic HIGHEST graph exceeds the remote
+    compile helper's memory (round 5)."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:7]                                   # ragged: 7 = 2*3 + 1 pad
+    w = ops.make_w_factor(state, Z, full_set_size=40)
+    wb = ops.make_w_factor_blocked(state, Z, example_block=3,
+                                   full_set_size=40)
+    assert wb.inner_shape == w.inner_shape
+    assert wb.num_params == w.num_params
+    M, K = w.inner_shape
+    d = M * K
+
+    key = jax.random.PRNGKey(3)
+    v = jax.random.normal(key, (w.num_params,))
+    U = jax.random.normal(jax.random.fold_in(key, 1), (M, K))
+    V = jax.random.normal(jax.random.fold_in(key, 2), (4, d))
+
+    assert jnp.allclose(wb.t_matvec(v), w.t_matvec(v), rtol=1e-5, atol=1e-5)
+    assert jnp.allclose(wb.matvec(U), w.matvec(U), rtol=1e-5, atol=1e-5)
+    assert jnp.allclose(wb.gram_matmat(V, block=2), w.gram_matmat(V),
+                        rtol=1e-4, atol=1e-4)
+    probes = jax.random.normal(jax.random.fold_in(key, 3),
+                               (3, w.num_params))
+    assert jnp.allclose(wb.t_matmat(probes), w.t_matmat(probes),
+                        rtol=1e-5, atol=1e-5)
+
+    # dZ-gradient twin through the Gram quadratic form u^T G(Z) u
+    u = jax.random.normal(jax.random.fold_in(key, 4), (M, K))
+
+    def quad(z, blocked):
+        f = (ops.make_w_factor_blocked(state, z, example_block=3,
+                                       full_set_size=40) if blocked
+             else ops.make_w_factor(state, z, full_set_size=40))
+        return jnp.vdot(u, f.t_matvec(f.matvec(u)))
+
+    g_ref = jax.grad(lambda z: quad(z, False))(Z)
+    g_blk = jax.grad(lambda z: quad(z, True))(Z)
+    assert jnp.allclose(g_blk, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_blocked_w_factor_binds_highest():
+    """The blocked factor must carry the matmul-precision contract of
+    test_w_factor_matmul_precision_binds_highest into its lax.map/scan
+    bodies."""
+    _, state, (x, _) = classifier_state()
+    Z = x[:6]
+    wb_hi = ops.make_w_factor_blocked(state, Z, example_block=2,
+                                      matmul_precision="highest")
+    U = jnp.ones(wb_hi.inner_shape)
+    jaxpr_hi = str(jax.make_jaxpr(lambda u: wb_hi.matvec(u))(U))
+    assert "HIGHEST" in jaxpr_hi
+    wb_def = ops.make_w_factor_blocked(state, Z, example_block=2)
+    jaxpr_def = str(jax.make_jaxpr(lambda u: wb_def.matvec(u))(U))
+    assert "HIGHEST" not in jaxpr_def

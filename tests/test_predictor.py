@@ -346,3 +346,19 @@ def test_eigh_host_factor_matches_device_eigh():
     want = dev.logit_samples(x[:8], 0.3, key, 32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_matfree_predictor_cg_example_block_twin():
+    """The blocked-operator matfree predictor (cg_example_block, round 5)
+    must produce the same logit samples as the monolithic one — identical
+    RNG stream, identical CG fixed point, block-structured jvp/vjp only."""
+    _, state, (x, _) = classifier_state()
+    Z, xt = x[:6], x[6:14]
+    kw = dict(full_set_size=24, method="matfree", cg_tol=1e-8,
+              cg_maxiter=400, precond_rank=4)
+    p_mono = ScalableLLAPredictor(state, Z, **kw)
+    p_blk = ScalableLLAPredictor(state, Z, cg_example_block=2, **kw)
+    key = jax.random.PRNGKey(11)
+    s_mono = p_mono.logit_samples(xt, 0.45, key, 8)
+    s_blk = p_blk.logit_samples(xt, 0.45, key, 8)
+    assert jnp.allclose(s_mono, s_blk, rtol=1e-4, atol=1e-4)

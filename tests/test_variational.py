@@ -280,3 +280,33 @@ def test_dz_unbounded_slice_end_to_end():
     assert jnp.all(jnp.isfinite(th))
     # prior-scale sanity: every coordinate's std is <= the prior's 1/sqrt(alpha)
     assert float(jnp.max(jnp.std(th, axis=0))) < 3.0 / jnp.sqrt(alpha)
+
+
+def test_matfree_cg_example_block_twin():
+    """``cg_example_block``: the blocked HIGHEST CG operator (round 5 —
+    the monolithic factor OOMs the remote compile helper at M >= 1024)
+    must leave the matfree objective's value AND dZ-gradient unchanged,
+    including through the staged-sketch path and the healthcheck."""
+    _, state, (x, _) = classifier_state()
+    Z, X = x[:5], x[:12]
+    alpha = 0.6
+    kw = dict(full_set_size=24, st_samples=24, slq_samples=2,
+              slq_num_matvecs=8, precond_rank=4)
+    key = jax.random.PRNGKey(7)
+    obj = ind.OBJECTIVES["stochastic_matfree"]
+    v_mono, g_mono = jax.value_and_grad(obj)(Z, X, state, alpha, key, **kw)
+    v_blk, g_blk = jax.value_and_grad(obj)(Z, X, state, alpha, key,
+                                           cg_example_block=2, **kw)
+    assert jnp.allclose(v_mono, v_blk, rtol=1e-5, atol=1e-4), (v_mono, v_blk)
+    scale = jnp.max(jnp.abs(g_mono)) + 1e-8
+    assert jnp.max(jnp.abs(g_mono - g_blk)) < 1e-3 * scale
+
+    hc_mono = ind.matfree_cg_healthcheck(
+        state, Z, alpha, full_set_size=24, precond_rank=4,
+        key=jax.random.PRNGKey(1), warn=False)
+    hc_blk = ind.matfree_cg_healthcheck(
+        state, Z, alpha, full_set_size=24, precond_rank=4,
+        key=jax.random.PRNGKey(1), cg_example_block=2, warn=False)
+    assert abs(hc_mono["lam_max"] - hc_blk["lam_max"]) \
+        < 1e-3 * (abs(hc_mono["lam_max"]) + 1e-8)
+    assert abs(hc_mono["cg_rel_residual"] - hc_blk["cg_rel_residual"]) < 1e-3

@@ -481,6 +481,11 @@ def main():
         except FileNotFoundError:
             Z_final = None
             log("[evidence] part 3a SKIPPED: no M=4096 checkpoint yet")
+        if Z_final is not None and Z_final.shape[0] != M:
+            log(f"[evidence] part 3a SKIPPED: checkpoint M={Z_final.shape[0]} "
+                f"!= --m_large {M} (the before/after KLs would use different "
+                f"beta recalibrations and not be comparable)")
+            Z_final = None
         if Z_final is not None:
             Z_init = loader_first_batch(M)
             log(f"[evidence] part 3a: CRN KL before/after at M={M}")

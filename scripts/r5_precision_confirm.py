@@ -93,6 +93,10 @@ def main():
                    help="blocked HIGHEST CG operator (BlockedWFactor): "
                         "bounds the remote-compile graph to this many "
                         "examples per lax.map/scan body")
+    p.add_argument("--n_probes", type=int, default=2,
+                   help="healthcheck CG probe count (pass 4 to reuse the "
+                        "graphs train_inducing_points' pre-training "
+                        "healthcheck already compiled)")
     p.add_argument("--skip_a", action="store_true")
     p.add_argument("--skip_b", action="store_true")
     p.add_argument("--skip_c", action="store_true")
@@ -176,7 +180,7 @@ def main():
         def stage_a():
             Z = load_z(args.ckpt_small, args.m_small, args.ckpt_small_step)
             log(f"[confirm] stage A: M={args.m_small} healthcheck")
-            health(Z, args.m_small, "ckpt_small", n_probes=2,
+            health(Z, args.m_small, "ckpt_small", n_probes=args.n_probes,
                    powers=args.powers)
         guarded("A", stage_a)
 

@@ -49,12 +49,19 @@ python -u -m laplace_inducing_points_tpu.cli.train_scale train_inducing \
   --train_log results/matfree4k_train_r5fix.jsonl \
   || { echo "IND4K-F32 FAILED rc=$?"; }
 
-step "4/4 evaluate retrained M=4096 (matfree)"
+step "4/5 evaluate retrained M=4096 (matfree)"
 python -u -m laplace_inducing_points_tpu.cli.evaluate \
   --dataset mnist --ood-dataset fmnist \
   --config configs/scale/lenet5_mnist_matfree4k.yml \
   --ckpt_induc checkpoint/ind4k_f32/ --scalable --predictive matfree \
   --iters 3 --out_json results/matfree4k_posttrain_r5fix.jsonl \
   || echo "EVAL4K-F32-MATFREE FAILED rc=$? (continuing)"
+
+step "5/5 gradient contract at M=1024 (retrained checkpoint, blocked f32 CG)"
+python -u scripts/r5_precision_confirm.py \
+  --ckpt_small checkpoint/ind1k_f32/ --skip_c \
+  --cg_example_block 128 --n_probes 4 --powers 1 \
+  --out results/precision_confirm_r5fix.jsonl \
+  || echo "CONFIRM-AB FAILED rc=$? (continuing)"
 
 step "job G complete"

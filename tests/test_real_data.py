@@ -209,9 +209,16 @@ def test_round3_paths_on_real_digits():
         objective="stochastic_matfree", st_samples=16, slq_samples=1,
         slq_num_matvecs=8, cg_tol=1e-5, precond_rank=8, verbose=False)
     assert bool(jnp.all(jnp.isfinite(Z)))
+    # cg_tol=1e-5 sits at this problem's f32 residual floor (eps*kappa ~
+    # 6e-8 * 619 ~ 4e-5, and the measured residual lands 3.7-5.5e-5
+    # depending on compile-to-compile op ordering), so asserting the
+    # healthcheck's converged flag at that tol pinned a threshold inside
+    # round-off noise. Assert against the floor with headroom instead —
+    # a genuine maxiter stall is orders of magnitude above it (the pre-fix
+    # failure mode measured residuals of 1e-1..1e+0).
     hc = matfree_cg_healthcheck(state, Z, 0.1, full_set_size=N,
                                 cg_tol=1e-5, precond_rank=8, warn=False)
-    assert hc["converged"], hc
+    assert hc["cg_rel_residual"] < 2e-4, hc
 
     _, test_loader, _ = make_dataloaders(
         ArrayDataset(np.asarray(xtr), np.asarray(ytr)),

@@ -93,6 +93,11 @@ def main():
                    help="blocked HIGHEST CG operator (BlockedWFactor): "
                         "bounds the remote-compile graph to this many "
                         "examples per lax.map/scan body")
+    p.add_argument("--env_alphas", type=float, nargs="+",
+                   default=[0.005, 0.05, 0.5, 5.0, 50.0],
+                   help="stage B usable-alpha envelope sweep (alpha rides "
+                        "as a dynamic jit arg — no extra compiles; 0.005 = "
+                        "the MAP prior where the pre-fix CG stalled)")
     p.add_argument("--n_probes", type=int, default=2,
                    help="healthcheck CG probe count (pass 4 to reuse the "
                         "graphs train_inducing_points' pre-training "
@@ -248,6 +253,29 @@ def main():
                        subdominant=bool(rel < noise),
                        seconds=round(time.time() - t0, 2),
                        seconds_materialized=round(t_mat, 2))
+
+            # usable-alpha envelope: alpha is a DYNAMIC argument of both
+            # twins, so the whole sweep reuses the two compiled graphs —
+            # this is the "document the envelope as a checked contract"
+            # measurement (VERDICT r4 task 3) at production shape
+            for a in args.env_alphas:
+                va, ga = mat_vg(Z, X, state, a, keys[0])
+                jax.block_until_ready(ga)
+                v, g = mf_vg(Z, X, state, a, keys[0],
+                             jnp.int32(args.maxiters[-1]), sketch)
+                jax.block_until_ready(g)
+                rel = float(jnp.linalg.norm((g - ga).ravel())
+                            / (jnp.linalg.norm(ga.ravel()) + 1e-30))
+                cos = float(jnp.vdot(g.ravel(), ga.ravel())
+                            / (jnp.linalg.norm(g.ravel())
+                               * jnp.linalg.norm(ga.ravel()) + 1e-30))
+                record(op="alpha_envelope_f32", M=args.m_small,
+                       d_z=args.m_small * 10, alpha=a,
+                       precond_rank=args.rank, precond_power=1,
+                       cg_maxiter=args.maxiters[-1], cg_tol=args.cg_tol,
+                       cg_example_block=args.cg_example_block,
+                       value_rel_err=f"{abs(float(v - va)) / max(abs(float(va)), 1e-30):.2e}",
+                       grad_rel_l2=round(rel, 4), grad_cosine=round(cos, 6))
         guarded("B", stage_b)
 
     # Stage C — M=4096 healthcheck, slim probe (n_probes=1)

@@ -117,6 +117,14 @@ def trace_of_inverse(matmat: MatMat, probes: jnp.ndarray, *,
 
     Parity: ``hutchpp_inv_mvp``/``na_hutchpp_inv_mvp``
     (``/root/reference/src/stochtrace.py:138-149,183-195``).
+
+    Precision contract (round 5): ``matmat`` is the OPERATOR of the inner
+    CG, so on TPU it must be full-f32 accurate — a bf16-pass matvec floors
+    the CG residual at ~ε·λ_max/λ_min no matter the tolerance
+    (docs/DESIGN.md §5c). Build W-factor operators for this function with
+    ``matmul_precision="highest"`` (blocked via ``make_w_factor_blocked``
+    when the monolithic graph exceeds the remote compile budget); the
+    estimator's own probe sweep OUTSIDE the solve may stay at default.
     """
     def inv_matmat(V):
         solve = lambda b: jax.scipy.sparse.linalg.cg(

@@ -257,11 +257,9 @@ def _matfree_logit_samples(state, Z, nys_U, nys_lam, nys_good, alpha, beta,
     maxiter = cg_maxiter or 10 * d
     lin = ops.linearize_model(state, x)
 
-    def c_matvec(u):
-        gu = wz.t_matvec(wz.matvec(u.reshape(M_, K_))).reshape(d)
-        return beta * gu + alpha * u
-
     def draw(k, n: int):
+        from laplace_inducing_points_tpu.ops import cg as cg_mod
+        from laplace_inducing_points_tpu.ops.nystrom import sketch_probe_block
         k1, k2 = jax.random.split(k)
         eps = jax.random.normal(k1, (n, D))
         eta = jax.random.normal(k2, (n, d))
@@ -269,10 +267,18 @@ def _matfree_logit_samples(state, Z, nys_U, nys_lam, nys_good, alpha, beta,
             eps = jax.lax.with_sharding_constraint(eps, sample_sharding)
             eta = jax.lax.with_sharding_constraint(eta, sample_sharding)
         U = sqrt_beta * wz.t_matmat(eps).reshape(n, d) + sqrt_alpha * eta
-        solve = lambda u: jax.scipy.sparse.linalg.cg(
-            c_matvec, u, tol=cg_tol, maxiter=maxiter, M=precond)[0]
-        X = jax.vmap(solve)(U)                                   # (n, d)
-        res = _batch_rel_residual(jax.vmap(c_matvec)(X), U)
+        # batched CG, draws as loop state — vmap-of-cg over the HIGHEST
+        # operator OOM-SIGKILLs the remote compile helper (round 5;
+        # ops/cg.py module docstring)
+        cgblk = sketch_probe_block(M_, n)
+
+        def c_matmat(Xm):                                        # (n, d)
+            return beta * wz.gram_matmat(Xm, block=cgblk) + alpha * Xm
+
+        X = cg_mod.cg_batched(
+            c_matmat, U, tol=cg_tol, maxiter=maxiter,
+            precond=cg_mod.rowwise(precond) if precond is not None else None)
+        res = _batch_rel_residual(c_matmat(X), U)
         w_draws = (eps - sqrt_beta
                    * wz.matmat(X.reshape(-1, M_, K_))) / sqrt_alpha
         return jax.vmap(lin.jvp)(w_draws), res                   # (n, B, K)

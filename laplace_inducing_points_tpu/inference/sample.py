@@ -265,10 +265,6 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
     M_, K_ = w.inner_shape
     d = M_ * K_
 
-    def c_matvec(u: jnp.ndarray) -> jnp.ndarray:                 # (d,)->(d,)
-        gu = w.t_matvec(w.matvec(u.reshape(M_, K_))).reshape(d)
-        return beta * gu + alpha * u
-
     # The Nyström preconditioner depends only on make-time state (state, Z,
     # α, β, rank, key) — build it ONCE here, not per draw batch: its k-probe
     # sketch costs k full Gram matvecs, comparable to a chunk of the CG work.
@@ -288,19 +284,28 @@ def make_matheron_sampler(state: Any, Z: jnp.ndarray, alpha,
             else jax.random.PRNGKey(0x4E59), power=precond_power)
 
     def apply(eps: jnp.ndarray, eta: jnp.ndarray, with_info: bool = False):
-        U = (sqrt_beta * w.t_matmat(eps).reshape(eps.shape[0], d)
+        from laplace_inducing_points_tpu.ops import cg as cg_mod
+        from laplace_inducing_points_tpu.ops.nystrom import sketch_probe_block
+        P = eps.shape[0]
+        U = (sqrt_beta * w.t_matmat(eps).reshape(P, d)
              + sqrt_alpha * eta)                                  # (P, d)
-        solve = lambda u: jax.scipy.sparse.linalg.cg(
-            c_matvec, u, tol=cg_tol, maxiter=cg_maxiter or 10 * d,
-            M=precond)[0]
-        X = jax.vmap(solve)(U)                                    # (P, d)
+        # batched CG (one while_loop, probes as loop state): vmap-of-cg
+        # over the HIGHEST operator OOM-SIGKILLs the remote compile helper
+        # (round 5; ops/cg.py module docstring)
+        cgblk = sketch_probe_block(M_, P)
+
+        def c_matmat(Xm):                                        # (P, d)
+            return beta * w.gram_matmat(Xm, block=cgblk) + alpha * Xm
+
+        X = cg_mod.cg_batched(
+            c_matmat, U, tol=cg_tol, maxiter=cg_maxiter or 10 * d,
+            precond=cg_mod.rowwise(precond) if precond else None)
         corr = w.matmat(X.reshape(-1, M_, K_))                    # (P, D)
         draws = (eps - sqrt_beta * corr) / sqrt_alpha
         if with_info:
             # one extra batched Gram matvec: did CG reach tol, or exit on
-            # maxiter? (jax's cg reports neither — the residual does)
-            CX = jax.vmap(c_matvec)(X)
-            return draws, _batch_rel_residual(CX, U)
+            # maxiter? (the residual reports what cg does not)
+            return draws, _batch_rel_residual(c_matmat(X), U)
         return draws
 
     return apply, d

@@ -127,9 +127,11 @@ def trace_of_inverse(matmat: MatMat, probes: jnp.ndarray, *,
     estimator's own probe sweep OUTSIDE the solve may stay at default.
     """
     def inv_matmat(V):
-        solve = lambda b: jax.scipy.sparse.linalg.cg(
-            lambda u: matmat(u[None])[0], b, tol=cg_tol, maxiter=cg_maxiter)[0]
-        return jax.vmap(solve)(V)
+        # batched CG (ops/cg.py): one while_loop with the probes as loop
+        # state — vmap-of-cg over a conv-backed operator OOMs the remote
+        # compile helper (round 5), and ``matmat`` is batched already
+        from laplace_inducing_points_tpu.ops.cg import cg_batched
+        return cg_batched(matmat, V, tol=cg_tol, maxiter=cg_maxiter)
 
     if estimator == "hutchpp":
         return hutchpp(inv_matmat, probes)

@@ -234,10 +234,6 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
             wz_cg = ops.make_w_factor(state, Z, full_set_size=None,
                                       matmul_precision="highest")
 
-        def c_matvec(u):
-            gu = wz_cg.t_matvec(wz_cg.matvec(u.reshape(Mk, Kk))).reshape(d_z)
-            return gu + (alpha / beta) * u
-
         precond = None
         if precond_rank and precond_sketch is not None:
             # STAGED sketch (round 5): the caller built (U, lam, good) in
@@ -275,18 +271,43 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
         # call __bool__ on the tracer
         maxiter = (10 * d_z) if cg_maxiter is None else cg_maxiter
 
-        def c_solve(u):
-            x, _ = jax.scipy.sparse.linalg.cg(
-                c_matvec, u, tol=cg_tol, maxiter=maxiter, M=precond)
-            return x
+    if materialize_w:
+        def sz_inv_vp(v):
+            u = wz.t_matvec(v).reshape(d_z)
+            x = c_solve(u)
+            return a_inv * v - a_inv * wz.matvec(x.reshape(Mk, Kk))
 
-    def sz_inv_vp(v):
-        u = wz.t_matvec(v).reshape(d_z)
-        x = c_solve(u)
-        return a_inv * v - a_inv * wz.matvec(x.reshape(Mk, Kk))
+        def composite(V):
+            return jax.vmap(lambda v: s_vp(sz_inv_vp(v)))(V)
+    else:
+        # BATCHED probe solve (round 5): vmap-of-CG-while_loop over the
+        # HIGHEST operator OOM-SIGKILLs the remote compile helper even at
+        # 4 probes x a block-128 factor, while the same operator compiles
+        # under fori_loop and under probe-chunked sweeps (ops/cg.py). One
+        # while_loop carries ALL probes as loop state; the operator rides
+        # as a probe-chunked gram_matmat — the exact graph shape the
+        # Nyström sketch already compiles. Per-row masking keeps every
+        # probe's iteration at its own tolerance exit; implicit dZ
+        # gradients via lax.custom_linear_solve(symmetric=True), same as
+        # jax.scipy's cg.
+        from laplace_inducing_points_tpu.ops import cg as cg_mod
+        from laplace_inducing_points_tpu.ops.nystrom import (
+            sketch_probe_block)
+        rho = alpha / beta
 
-    def composite(V):
-        return jax.vmap(lambda v: s_vp(sz_inv_vp(v)))(V)
+        def composite(V):
+            P = V.shape[0]
+            cgblk = sketch_probe_block(Mk, P)
+
+            def c_matmat(Xm):                      # (P, d_z) -> (P, d_z)
+                return (wz_cg.gram_matmat(Xm, block=cgblk) + rho * Xm)
+
+            U = wz.t_matmat(V).reshape(P, d_z)
+            X = cg_mod.cg_batched(
+                c_matmat, U, tol=cg_tol, maxiter=maxiter,
+                precond=cg_mod.rowwise(precond) if precond else None)
+            corr = wz.matmat(X.reshape(P, Mk, Kk))             # (P, D)
+            return jax.vmap(s_vp)(a_inv * V - a_inv * corr)
 
     D = wz.num_params
     probes = st.rademacher_probes(key, st_samples, D)
@@ -415,22 +436,31 @@ def _probe_cg(state, Z, U, lam, good, rho, key, n_probes: int,
               example_block=None):
     """Worst relative residual of the inner CG on ``n_probes`` random
     right-hand sides (same operator, preconditioner construction, and
-    budget as the objective's ``c_solve``). ``cg_maxiter`` is a DYNAMIC
+    budget as the objective's batched solve). ``cg_maxiter`` is a DYNAMIC
     argument (None or int): a maxiter sweep — the healthcheck's natural
     diagnostic use — reuses one compiled graph. With
-    ``use_precond=False`` the sketch arguments are unused dummies."""
-    from laplace_inducing_points_tpu.ops.nystrom import precond_from_sketch
-    _, d_z, c_matvec = _probe_factor(state, Z, example_block)
+    ``use_precond=False`` the sketch arguments are unused dummies.
+
+    Batched CG, not vmap-of-cg: the vmapped while_loop over the HIGHEST
+    operator OOM-SIGKILLed the remote compile helper at 4 probes x a
+    block-128 factor (round 5; ops/cg.py module docstring)."""
+    from laplace_inducing_points_tpu.ops import cg as cg_mod
+    from laplace_inducing_points_tpu.ops.nystrom import (precond_from_sketch,
+                                                         sketch_probe_block)
+    wz, d_z, _ = _probe_factor(state, Z, example_block)
     precond = (precond_from_sketch(U, lam, good, rho)
                if use_precond else None)
     maxiter = (10 * d_z) if cg_maxiter is None else cg_maxiter
     b = jax.random.normal(key, (n_probes, d_z))
-    solve = lambda u: jax.scipy.sparse.linalg.cg(
-        lambda v: c_matvec(v, rho), u, tol=cg_tol, maxiter=maxiter,
-        M=precond)[0]
-    X = jax.vmap(solve)(b)
-    num = jnp.linalg.norm(jax.vmap(lambda v: c_matvec(v, rho))(X) - b,
-                          axis=-1)
+    cgblk = sketch_probe_block(wz.inner_shape[0], n_probes)
+
+    def c_matmat(Xm):
+        return wz.gram_matmat(Xm, block=cgblk) + rho * Xm
+
+    X = cg_mod.cg_batched(c_matmat, b, tol=cg_tol, maxiter=maxiter,
+                          precond=cg_mod.rowwise(precond) if use_precond
+                          else None)
+    num = jnp.linalg.norm(c_matmat(X) - b, axis=-1)
     den = jnp.maximum(jnp.linalg.norm(b, axis=-1), 1e-30)
     return jnp.max(num / den)
 

@@ -159,19 +159,23 @@ def kl_objective_stochastic(Z, X, state, alpha, key,
     (st_samples−16, 16) Hutch++ split, Woodbury through the dense d_z Gram.
 
     ``materialize_w=False`` (round 3, beyond-reference): the Woodbury inner
-    solve runs as a **CG solve against the matrix-free Gram operator**
-    ``u ↦ Wzᵀ(Wz u) + (α/β)u`` instead of a Cholesky of the dense ``Gzz``
-    — nothing of size ``d_z × D`` or ``d_z × d_z`` is ever materialized
-    (statically asserted in ``tests/test_variational.py``), so ``d_z`` can
-    exceed the eigh/Cholesky range. Gradients w.r.t. Z flow through the
-    solve by implicit differentiation (``lax.custom_linear_solve`` inside
-    ``jax.scipy.sparse.linalg.cg`` — the transpose solve reuses the same
-    PSD operator). The reference's stacked SLQ operator is already
+    solve runs as a **batched CG solve against the matrix-free Gram
+    operator** ``X ↦ Wzᵀ(Wz X) + (α/β)X`` instead of a Cholesky of the
+    dense ``Gzz`` — nothing of size ``d_z × D`` or ``d_z × d_z`` is ever
+    materialized (statically asserted in ``tests/test_variational.py``),
+    so ``d_z`` can exceed the eigh/Cholesky range. All Hutch++ probes ride
+    ONE ``while_loop`` as stacked loop state (``ops/cg.py`` — round 5:
+    vmap-of-cg over the HIGHEST operator OOMs the remote compile helper),
+    with per-probe tolerance masking. Gradients w.r.t. Z flow through the
+    solve by implicit differentiation (``lax.custom_linear_solve``
+    ``symmetric=True`` — the transpose solve reuses the same PSD
+    operator). The reference's stacked SLQ operator is already
     matrix-free; only its Woodbury wasn't
     (``/root/reference/src/train_inducing.py:122-132``). Cost: each CG
-    iteration is one jvp+vjp pair of the batched model at Z; ``cg_tol``
-    trades iterations against bias in the trace estimate (error enters
-    linearly, bounded by the ~1/√P estimator noise for tol ≪ 1/√P).
+    iteration is one probe-chunked jvp+vjp sweep of the batched model at
+    Z; ``cg_tol`` trades iterations against bias in the trace estimate
+    (error enters linearly, bounded by the ~1/√P estimator noise for
+    tol ≪ 1/√P).
 
     Round-4 defaults: ``precond_rank=64`` (Nyström deflation ON —
     unpreconditioned CG at GGN spectra exits on maxiter, not tolerance;
